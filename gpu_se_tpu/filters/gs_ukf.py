@@ -1,0 +1,255 @@
+"""Gaussian-sum unscented Kalman filter (bank of UKFs + importance weights).
+
+Functional core over :class:`GSUKFState` replaces the reference CPU/GPU
+pair (/root/reference/filter/gs_ukf.py:9-183, :186-449). All per-Gaussian
+work (sigma points, unscented transform, Kalman gain) is batched over the
+bank axis with einsums — MXU-shaped — instead of Python double loops or
+guvectorized CUDA kernels. Cholesky failure handling is branchless
+(jitter-on-NaN) rather than exception retry, since exceptions cannot
+cross ``jit`` (cf. the try/except at /root/reference/filter/gs_ukf.py:72-75).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from gpu_se_tpu.distributions.gaussian_sum import GaussianSum
+from gpu_se_tpu.filters.resampling import systematic_resample
+
+
+@struct.dataclass
+class GSUKFState:
+    """means (N, Nx), covariances (N, Nx, Nx), weights (N,), PRNG key."""
+
+    means: jax.Array
+    covariances: jax.Array
+    weights: jax.Array
+    key: jax.Array
+
+    @property
+    def n_gaussians(self) -> int:
+        return self.means.shape[0]
+
+    @property
+    def n_dim(self) -> int:
+        return self.means.shape[1]
+
+
+def sigma_weights(nx: int, dtype=jnp.float32) -> jax.Array:
+    """Custom sigma weights: w_mu + 2*nx*w_sigma = 1 and
+    w_mu / w_sigma ~ N(0)/N(sigma) (cf. /root/reference/filter/gs_ukf.py:63-67)."""
+    n_sigmas = 2 * nx + 1
+    w = jnp.full((n_sigmas,), 1.0 / (2 * nx + 8.0 / 5.0), dtype=dtype)
+    return w.at[0].set(1.0 / (1.0 + 5.0 / 4.0 * nx))
+
+
+def _batched_cholesky_jittered(covs: jax.Array, jitter: float = 1e-10) -> jax.Array:
+    """Batched Cholesky with branchless jitter fallback on failure.
+
+    jnp.linalg.cholesky yields NaNs (not exceptions) for non-PD inputs;
+    where that happens, redo with ``jitter * I`` added — the jit-safe
+    version of the retry at /root/reference/filter/gs_ukf.py:72-75.
+    """
+    nx = covs.shape[-1]
+    eye = jnp.eye(nx, dtype=covs.dtype)
+    l0 = jnp.linalg.cholesky(covs)
+    bad = jnp.isnan(l0).any(axis=(-2, -1), keepdims=True)
+    l1 = jnp.linalg.cholesky(covs + jitter * eye)
+    return jnp.where(bad, l1, l0)
+
+
+def get_sigma_points(state: GSUKFState) -> jax.Array:
+    """(N, 2*Nx+1, Nx) sigma points: mean, mean + rows(L^T), mean - rows(L^T)
+    (cf. /root/reference/filter/gs_ukf.py:69-80)."""
+    stds = _batched_cholesky_jittered(state.covariances)
+    stds_t = jnp.swapaxes(stds, -1, -2)  # rows are scaled directions
+    mean = state.means[:, None, :]
+    return jnp.concatenate([mean, mean + stds_t, mean - stds_t], axis=1)
+
+
+# ----------------------------------------------------------------------
+def init(
+    key: jax.Array,
+    n_gaussians: int,
+    x0: GaussianSum,
+    state_pdf: GaussianSum,
+    dtype=jnp.float32,
+) -> GSUKFState:
+    """Initial bank: means drawn from x0, covariances = first state-noise
+    component repeated (cf. /root/reference/filter/gs_ukf.py:50-54)."""
+    key, sub = jax.random.split(key)
+    means = x0.draw(sub, (n_gaussians,)).astype(dtype)
+    covs = jnp.broadcast_to(
+        state_pdf.covariances[0][None], (n_gaussians,) + state_pdf.covariances[0].shape
+    ).astype(dtype)
+    weights = jnp.full((n_gaussians,), 1.0 / n_gaussians, dtype=dtype)
+    return GSUKFState(means=means, covariances=covs, weights=weights, key=key)
+
+
+def predict(
+    state: GSUKFState, u: jax.Array, dt, f: Callable, state_pdf: GaussianSum
+) -> GSUKFState:
+    """Unscented prediction with noise added to the sigma points before
+    recombination (deliberate covariance inflation, cf.
+    /root/reference/filter/gs_ukf.py:82-103)."""
+    n, nx = state.means.shape
+    w_sigma = sigma_weights(nx, state.means.dtype)
+    key, sub = jax.random.split(state.key)
+
+    sigmas = get_sigma_points(state)
+    deltas = jax.vmap(jax.vmap(f, in_axes=(0, None, None)), in_axes=(0, None, None))(
+        sigmas, u, dt
+    )
+    sigmas = sigmas + deltas + state_pdf.draw(sub, (n, sigmas.shape[1]))
+
+    means = jnp.einsum("s,nsx->nx", w_sigma, sigmas)
+    centered = sigmas - means[:, None, :]
+    covs = jnp.einsum("nsx,s,nsy->nxy", centered, w_sigma, centered)
+    return GSUKFState(means=means, covariances=covs, weights=state.weights, key=key)
+
+
+def update(
+    state: GSUKFState,
+    u: jax.Array,
+    z: jax.Array,
+    g: Callable,
+    measurement_pdf: GaussianSum,
+) -> GSUKFState:
+    """Per-Gaussian local UKF measurement update + global weight update
+    (cf. /root/reference/filter/gs_ukf.py:105-149)."""
+    nx = state.n_dim
+    w_sigma = sigma_weights(nx, state.means.dtype)
+
+    sigmas = get_sigma_points(state)
+    etas = jax.vmap(jax.vmap(g, in_axes=(0, None)), in_axes=(0, None))(sigmas, u)
+
+    eta_means = jnp.einsum("s,nsy->ny", w_sigma, etas)
+    sig_c = sigmas - state.means[:, None, :]
+    eta_c = etas - eta_means[:, None, :]
+
+    p_xy = jnp.einsum("nsx,s,nsy->nxy", sig_c, w_sigma, eta_c)
+    p_yy = jnp.einsum("nsx,s,nsy->nxy", eta_c, w_sigma, eta_c)
+    gains = p_xy @ jnp.linalg.inv(p_yy)
+
+    es = z - eta_means
+    means = state.means + jnp.einsum("nxy,ny->nx", gains, es)
+    # "Dimensions from paper do not work, use corrected version"
+    # (/root/reference/filter/gs_ukf.py:139)
+    covs = state.covariances - gains @ p_yy @ jnp.swapaxes(gains, -1, -2)
+
+    y_means = jax.vmap(g, in_axes=(0, None))(means, u)
+    weights = state.weights * measurement_pdf.pdf(z - y_means)
+    return GSUKFState(means=means, covariances=covs, weights=weights, key=state.key)
+
+
+def resample(state: GSUKFState) -> GSUKFState:
+    """Systematic resample of (means, covariances)
+    (cf. /root/reference/filter/gs_ukf.py:151-170)."""
+    key, sub = jax.random.split(state.key)
+    (means, covs), weights = systematic_resample(
+        (state.means, state.covariances), state.weights, sub
+    )
+    return GSUKFState(means=means, covariances=covs, weights=weights, key=key)
+
+
+def step(state, u, z, dt, f, g, state_pdf, measurement_pdf) -> GSUKFState:
+    """Fused predict + update + resample."""
+    state = predict(state, u, dt, f, state_pdf)
+    state = update(state, u, z, g, measurement_pdf)
+    return resample(state)
+
+
+def point_estimate(state: GSUKFState) -> jax.Array:
+    w = state.weights / jnp.sum(state.weights)
+    return w @ state.means
+
+
+def point_covariance(state: GSUKFState) -> jax.Array:
+    """Max singular value of total covariance: E[cov] + Var[means]
+    (cf. /root/reference/filter/gs_ukf.py:176-183)."""
+    w = state.weights / jnp.sum(state.weights)
+    cov_cov = jnp.einsum("n,nxy->xy", w, state.covariances)
+    mean = w @ state.means
+    dist = state.means - mean
+    cov_mean = dist.T @ (dist * w[:, None])
+    s = jnp.linalg.svd(cov_cov + cov_mean, compute_uv=False)
+    return s[0]
+
+
+# ----------------------------------------------------------------------
+class GaussianSumUnscentedKalmanFilter:
+    """Stateful shell with the reference six-method API."""
+
+    def __init__(
+        self,
+        f,
+        g,
+        N_particles,
+        x0,
+        state_pdf,
+        measurement_pdf,
+        seed: int = 0,
+        device=None,
+    ):
+        from gpu_se_tpu.filters.particle import _as_dist
+
+        self.f, self.g = f, g
+        self.N_particles = int(N_particles)
+        self.state_pdf = _as_dist(state_pdf)
+        self.measurement_pdf = _as_dist(measurement_pdf)
+        x0 = _as_dist(x0)
+
+        key = jax.random.PRNGKey(seed)
+        self.state = init(key, self.N_particles, x0, self.state_pdf)
+        if device is not None:
+            self.state = jax.device_put(self.state, device)
+
+        self._predict = jax.jit(partial(predict, f=self.f))
+        self._update = jax.jit(partial(update, g=self.g))
+        self._resample = jax.jit(resample)
+        self._step = jax.jit(partial(step, f=self.f, g=self.g))
+        self._point_estimate = jax.jit(point_estimate)
+        self._point_covariance = jax.jit(point_covariance)
+
+    def predict(self, u, dt):
+        self.state = self._predict(
+            self.state, jnp.asarray(u), jnp.asarray(dt, jnp.float32),
+            state_pdf=self.state_pdf,
+        )
+
+    def update(self, u, z):
+        self.state = self._update(
+            self.state, jnp.asarray(u), jnp.asarray(z),
+            measurement_pdf=self.measurement_pdf,
+        )
+
+    def resample(self):
+        self.state = self._resample(self.state)
+
+    def step(self, u, z, dt):
+        self.state = self._step(
+            self.state, jnp.asarray(u), jnp.asarray(z), jnp.asarray(dt, jnp.float32),
+            state_pdf=self.state_pdf, measurement_pdf=self.measurement_pdf,
+        )
+
+    def point_estimate(self):
+        return self._point_estimate(self.state)
+
+    def point_covariance(self):
+        return self._point_covariance(self.state)
+
+    @property
+    def means(self):
+        return self.state.means
+
+    @property
+    def covariances(self):
+        return self.state.covariances
+
+    @property
+    def weights(self):
+        return self.state.weights

@@ -1,0 +1,199 @@
+"""Sampling-importance-resampling particle filter.
+
+One functional core over an explicit :class:`PFState` pytree replaces the
+reference's CPU/GPU class pair (/root/reference/filter/particle.py:9-114
+and :117-327): ``vmap`` over the particle axis gives the accelerator
+batching the reference built from numba-CUDA gufuncs, and the same code
+runs on CPU for parity tests. The full predict/update/resample step fuses
+into a single ``jit`` so a control-loop iteration is one device dispatch
+(the reference performs >=4 host<->device syncs per control step,
+SURVEY.md section 3.1).
+
+API parity: the :class:`ParticleFilter` shell keeps the reference's
+six-method surface (ctor, predict, update, resample, point_estimate,
+point_covariance).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from gpu_se_tpu.distributions.gaussian_sum import GaussianSum
+from gpu_se_tpu.filters.resampling import systematic_resample
+
+
+@struct.dataclass
+class PFState:
+    """Particle-filter state: particles (N, Nx), weights (N,), PRNG key."""
+
+    particles: jax.Array
+    weights: jax.Array
+    key: jax.Array
+
+    @property
+    def n_particles(self) -> int:
+        return self.particles.shape[0]
+
+
+# ----------------------------------------------------------------------
+# Functional core. `f`, `g` are static (closed over at trace time):
+#   f(x, u, dt) -> state delta   (dt premultiplied, reference convention,
+#                                 /root/reference/filter/particle.py:66)
+#   g(x, u) -> predicted output
+# ----------------------------------------------------------------------
+def init(
+    key: jax.Array, n_particles: int, x0: GaussianSum, dtype=jnp.float32
+) -> PFState:
+    key, sub = jax.random.split(key)
+    particles = x0.draw(sub, (n_particles,)).astype(dtype)
+    weights = jnp.full((n_particles,), 1.0 / n_particles, dtype=dtype)
+    return PFState(particles=particles, weights=weights, key=key)
+
+
+def predict(
+    state: PFState, u: jax.Array, dt, f: Callable, state_pdf: GaussianSum
+) -> PFState:
+    """x_i += f(x_i, u, dt) + w_i (cf. /root/reference/filter/particle.py:54-67)."""
+    key, sub = jax.random.split(state.key)
+    deltas = jax.vmap(f, in_axes=(0, None, None))(state.particles, u, dt)
+    noise = state_pdf.draw(sub, (state.particles.shape[0],))
+    return state.replace(particles=state.particles + deltas + noise, key=key)
+
+
+def update(
+    state: PFState, u: jax.Array, z: jax.Array, g: Callable, measurement_pdf: GaussianSum
+) -> PFState:
+    """w_i *= p(z - g(x_i, u)) (cf. /root/reference/filter/particle.py:69-83)."""
+    ys = jax.vmap(g, in_axes=(0, None))(state.particles, u)
+    ws = measurement_pdf.pdf(z - ys)
+    return state.replace(weights=state.weights * ws)
+
+
+def resample(state: PFState) -> PFState:
+    """Systematic resample (cf. /root/reference/filter/particle.py:85-103)."""
+    key, sub = jax.random.split(state.key)
+    particles, weights = systematic_resample(state.particles, state.weights, sub)
+    return PFState(particles=particles, weights=weights, key=key)
+
+
+def step(
+    state: PFState,
+    u: jax.Array,
+    z: jax.Array,
+    dt,
+    f: Callable,
+    g: Callable,
+    state_pdf: GaussianSum,
+    measurement_pdf: GaussianSum,
+) -> PFState:
+    """Fused predict + update + resample — the hot per-control-step op."""
+    state = predict(state, u, dt, f, state_pdf)
+    state = update(state, u, z, g, measurement_pdf)
+    return resample(state)
+
+
+def point_estimate(state: PFState) -> jax.Array:
+    """Weighted mean of the particles, normalized
+    (cf. /root/reference/filter/particle.py:105-107 — the reference skips
+    normalization because its weights are uniform after resampling; we
+    normalize so the estimate is correct mid-cycle too)."""
+    w = state.weights / jnp.sum(state.weights)
+    return w @ state.particles
+
+
+def point_covariance(state: PFState) -> jax.Array:
+    """Max singular value of the weighted particle covariance
+    (cf. /root/reference/filter/particle.py:109-114)."""
+    w = state.weights / jnp.sum(state.weights)
+    mean = w @ state.particles
+    dist = state.particles - mean
+    cov = dist.T @ (dist * w[:, None])
+    s = jnp.linalg.svd(cov, compute_uv=False)
+    return s[0]
+
+
+# ----------------------------------------------------------------------
+class ParticleFilter:
+    """Stateful shell with the reference six-method API.
+
+    One class serves every backend; pass ``device`` to pin placement.
+    All methods are jitted with ``f``/``g`` closed over at trace time.
+    """
+
+    def __init__(
+        self,
+        f,
+        g,
+        N_particles,
+        x0,
+        state_pdf,
+        measurement_pdf,
+        seed: int = 0,
+        device=None,
+    ):
+        self.f, self.g = f, g
+        self.N_particles = int(N_particles)
+        self.state_pdf = _as_dist(state_pdf)
+        self.measurement_pdf = _as_dist(measurement_pdf)
+        x0 = _as_dist(x0)
+
+        key = jax.random.PRNGKey(seed)
+        self.state = init(key, self.N_particles, x0)
+        if device is not None:
+            self.state = jax.device_put(self.state, device)
+
+        self._predict = jax.jit(partial(predict, f=self.f))
+        self._update = jax.jit(partial(update, g=self.g))
+        self._resample = jax.jit(resample)
+        self._step = jax.jit(partial(step, f=self.f, g=self.g))
+        self._point_estimate = jax.jit(point_estimate)
+        self._point_covariance = jax.jit(point_covariance)
+
+    # -- reference API --------------------------------------------------
+    def predict(self, u, dt):
+        self.state = self._predict(
+            self.state, jnp.asarray(u), jnp.asarray(dt, jnp.float32),
+            state_pdf=self.state_pdf,
+        )
+
+    def update(self, u, z):
+        self.state = self._update(
+            self.state, jnp.asarray(u), jnp.asarray(z),
+            measurement_pdf=self.measurement_pdf,
+        )
+
+    def resample(self):
+        self.state = self._resample(self.state)
+
+    def step(self, u, z, dt):
+        """Fused full cycle (one dispatch); not in the reference API."""
+        self.state = self._step(
+            self.state, jnp.asarray(u), jnp.asarray(z), jnp.asarray(dt, jnp.float32),
+            state_pdf=self.state_pdf, measurement_pdf=self.measurement_pdf,
+        )
+
+    def point_estimate(self):
+        return self._point_estimate(self.state)
+
+    def point_covariance(self):
+        return self._point_covariance(self.state)
+
+    # convenience for tests
+    @property
+    def particles(self):
+        return self.state.particles
+
+    @property
+    def weights(self):
+        return self.state.weights
+
+
+def _as_dist(d) -> GaussianSum:
+    """Accept either a GaussianSum pytree or a stateful shell."""
+    if isinstance(d, GaussianSum):
+        return d
+    return d.dist

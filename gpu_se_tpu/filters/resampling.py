@@ -1,0 +1,64 @@
+"""Systematic resampling — the framework's one genuinely parallel-hard op.
+
+The reference implements this three ways: a sequential cumsum walk on CPU
+(/root/reference/filter/particle.py:85-103), and on GPU a Torch cumsum via
+DLPack plus a hand-written CUDA kernel doing a per-thread bidirectional
+scan ("Nicely's algorithm", /root/reference/filter/particle.py:223-263).
+
+TPU-native design: one vectorized formulation — normalized inclusive
+cumsum + a batched ``searchsorted`` — which XLA compiles to sort/scan
+primitives; identical output to the reference CPU walk (smallest ``k``
+with ``cumsum[k] >= (i + r) / N``). The multi-chip variant lives in
+``gpu_se_tpu.parallel`` (local scan + exclusive psum of shard totals).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def systematic_positions(n: int, r: jax.Array) -> jax.Array:
+    """Stratified positions u_i = (i + r) / n for a single uniform r."""
+    i = jnp.arange(n, dtype=jnp.float32)
+    return (i + r) / n
+
+
+def systematic_resample_indices(weights: jax.Array, r: jax.Array) -> jax.Array:
+    """Ancestor indices for systematic resampling.
+
+    Matches the reference CPU semantics exactly
+    (/root/reference/filter/particle.py:96-100): ``idx[i]`` is the
+    smallest ``k`` such that ``cumsum[k] >= (i + r) / N`` with the cumsum
+    normalized by its last entry.
+
+    Parameters
+    ----------
+    weights : (N,) nonnegative weights (need not be normalized)
+    r : scalar in [0, 1)
+
+    Returns
+    -------
+    (N,) int32 ancestor indices.
+    """
+    n = weights.shape[0]
+    cumsum = jnp.cumsum(weights)
+    cumsum = cumsum / cumsum[-1]
+    u = systematic_positions(n, r)
+    idx = jnp.searchsorted(cumsum, u, side="left", method="sort")
+    # Guard against r == cumsum tail float edge: clamp into range
+    return jnp.clip(idx, 0, n - 1).astype(jnp.int32)
+
+
+def systematic_resample(pytree, weights: jax.Array, key: jax.Array):
+    """Resample any pytree of (N, ...) arrays along axis 0.
+
+    Returns ``(resampled_pytree, uniform_weights)``. Shared by the
+    particle filter (particles) and the GSUKF (means + covariances),
+    mirroring the duplicated kernels at
+    /root/reference/filter/particle.py:296-316 and gs_ukf.py:409-436.
+    """
+    n = weights.shape[0]
+    r = jax.random.uniform(key, ())
+    idx = systematic_resample_indices(weights, r)
+    gathered = jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=0), pytree)
+    return gathered, jnp.full((n,), 1.0 / n, dtype=weights.dtype)
