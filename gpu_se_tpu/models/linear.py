@@ -135,8 +135,20 @@ def _jacobians_fd(model: NonlinearModel, x_bar, u_bar):
 
 
 def _jacobians_exact(model: NonlinearModel, x_bar, u_bar):
-    """Exact Jacobians via jacfwd on the model's pure hooks, in float64."""
-    with jax.enable_x64(True):
+    """Exact Jacobians via jacfwd on the model's pure hooks, in float64.
+
+    Pinned to the CPU backend: this is one-time trace-time setup, and on a
+    remote-accelerator platform eager float64 dispatch would be both slow
+    and unsupported.
+    """
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    import contextlib
+
+    dev_ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
+    with jax.enable_x64(True), dev_ctx:
         xb = np.asarray(x_bar, dtype=np.float64)
         ub = np.asarray(u_bar, dtype=np.float64)
         A = np.asarray(jax.jacfwd(model.des, argnums=0)(xb, ub))
