@@ -1,0 +1,108 @@
+"""Headline benchmark: full particle-filter step throughput at 2^20
+particles on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is the speedup over the regenerated CPU reference number in
+bench_baseline.json (the reference repo publishes no absolute numbers;
+see BASELINE.md). The full step = predict (vmapped bioreactor dynamics +
+mixture noise) + update (measurement pdf weighting) + systematic
+resample, fused in a single jit — the hot op of the closed-loop rig
+(cf. /root/reference/results/pf_openloop/pf_run_seq.py).
+"""
+import json
+import os
+import sys
+import time
+
+os.makedirs(os.path.join(os.path.dirname(__file__) or ".", ".jax_cache"), exist_ok=True)
+
+import jax  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gpu_se_tpu.distributions import GaussianSum  # noqa: E402
+from gpu_se_tpu.filters import particle as pf_core  # noqa: E402
+from gpu_se_tpu.models import bioreactor as bio  # noqa: E402
+
+N = 2**20
+REPS = 30
+
+
+def main():
+    x_ss = np.array([280 / 180, 640 / 24.6, 1000 / 116, 0.0, 0.0])
+    x0 = GaussianSum.create(
+        np.stack([x_ss, x_ss]),
+        np.stack([np.eye(5) * 1e-4, np.eye(5) * 1e-3]),
+        np.array([0.75, 0.25]),
+    )
+    state_pdf = GaussianSum.create(
+        np.zeros((2, 5)),
+        np.stack(
+            [
+                np.diag([1e-4, 1e-7, 1e-3, 1e-3, 1e-7]),
+                np.diag([1e-3, 1e-6, 1e-2, 1e-2, 1e-6]),
+            ]
+        ),
+        np.array([0.75, 0.25]),
+    )
+    meas_pdf = GaussianSum.create(
+        np.array([[1e-1, 0], [0, -1e-1]]),
+        np.array([[[6e-2, 0], [0, 8e-2]], [[500, 100], [100, 700]]]),
+        np.array([0.85, 0.15]),
+    )
+
+    f = bio.Bioreactor.homeostatic_DEs
+    g = bio.Bioreactor.static_outputs
+    u = jnp.array([0.06, 0.2])
+    z = jnp.asarray(bio.static_outputs(x_ss, np.asarray(u), xp=np), jnp.float32)
+
+    state = pf_core.init(jax.random.PRNGKey(0), N, x0)
+
+    @jax.jit
+    def step(state):
+        return pf_core.step(
+            state, u, z, jnp.float32(0.1), f, g, state_pdf, meas_pdf
+        )
+
+    # compile + warmup
+    state = step(state)
+    jax.block_until_ready(state.particles)
+
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        state = step(state)
+    jax.block_until_ready(state.particles)
+    dt = (time.perf_counter() - t0) / REPS
+    steps_per_s = 1.0 / dt
+
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+    ) as fh:
+        baseline = json.load(fh)["pf_step_2e20_cpu_steps_per_s"]
+
+    print(
+        json.dumps(
+            {
+                "metric": "pf_full_step_throughput_2^20_particles",
+                "value": round(steps_per_s, 2),
+                "unit": "steps/s",
+                "vs_baseline": round(steps_per_s / baseline, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -316,3 +316,74 @@ class MPC:
 def _extract(consts, v):
     """Device-side extraction of the v-dependent control/prediction parts."""
     return consts["ctrl_map"] @ v, consts["theta0_w"] @ v
+
+
+# ----------------------------------------------------------------------
+# Fully on-device step (for lax.scan closed loops and multi-chip dryruns).
+# Float32 end to end: adequate for realistic closed-loop magnitudes; the
+# host shell's float64 preprocessing path (MPC.step) is the robust default.
+# ----------------------------------------------------------------------
+def make_device_step(mpc: "MPC"):
+    """Return ``(consts, step_fn)`` where ``step_fn(consts, x0, um1, bias,
+    warm_v, warm_y) -> (ctrl, y_pred, sol)`` runs entirely on device."""
+    h = mpc._h
+    dt = mpc.qp.settings.dtype
+
+    def dev(x):
+        return jnp.asarray(np.asarray(x), dt)
+
+    consts = dict(
+        qp=mpc.qp.consts,
+        ctrl_map=mpc._consts["ctrl_map"],
+        theta0_w=mpc._consts["theta0_w"],
+        A_q=tuple(dev(p) for p in h["A_q"]) if h["A_q"] is not None else None,
+        ctrl_q=tuple(dev(p) for p in h["ctrl_q"]),
+        y1_q=tuple(dev(p) for p in h["y1_q"]),
+        F_x0=dev(h["F_x0"]),
+        F_u0=dev(h["F_u0"]),
+        F_x=dev(h["F_x"]) if mpc._has_y_rows else None,
+        F_u=dev(h["F_u"]) if mpc._has_y_rows else None,
+        k_vec=dev(h["k_vec"]) if mpc._has_y_rows else None,
+        y_lo=dev(h["y_lo"]) if mpc._has_y_rows else None,
+        y_hi=dev(h["y_hi"]) if mpc._has_y_rows else None,
+        du_lo=dev(h["du_lo"]) if mpc._has_du_rows else None,
+        du_hi=dev(h["du_hi"]) if mpc._has_du_rows else None,
+        u_lo=dev(h["u_lo"]) if mpc._has_u0_rows else None,
+        u_hi=dev(h["u_hi"]) if mpc._has_u0_rows else None,
+    )
+    has_y, has_du, has_u0 = mpc._has_y_rows, mpc._has_du_rows, mpc._has_u0_rows
+    settings = mpc.qp.settings
+
+    def step_fn(c, x0, um1, bias, warm_v, warm_y):
+        def through_q(parts):
+            qx, qu, qb, q0 = parts
+            return qx @ x0 + qu @ um1 + qb @ bias - q0
+
+        l_parts, u_parts = [], []
+        if has_y:
+            y_free = c["F_x"] @ x0 + c["F_u"] @ um1 + jnp.kron(c["k_vec"], bias)
+            l_parts.append(c["y_lo"] - y_free)
+            u_parts.append(c["y_hi"] - y_free)
+        if has_du:
+            l_parts.append(c["du_lo"])
+            u_parts.append(c["du_hi"])
+        if has_u0:
+            l_parts.append(c["u_lo"] - um1)
+            u_parts.append(c["u_hi"] - um1)
+        if l_parts:
+            aq = through_q(c["A_q"])
+            l = jnp.concatenate(l_parts) + aq
+            u = jnp.concatenate(u_parts) + aq
+        else:
+            l = jnp.zeros(0, x0.dtype)
+            u = jnp.zeros(0, x0.dtype)
+
+        sol = _admm_solve(c["qp"], jnp.zeros_like(warm_v), l, u, warm_v, warm_y,
+                          settings=settings)
+        ctrl = -through_q(c["ctrl_q"]) + um1 + c["ctrl_map"] @ sol.x
+        y1 = c["F_x0"] @ x0 + c["F_u0"] @ um1 + bias - through_q(c["y1_q"]) + (
+            c["theta0_w"] @ sol.x
+        )
+        return ctrl, y1 - bias, sol
+
+    return consts, step_fn

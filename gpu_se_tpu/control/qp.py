@@ -218,6 +218,28 @@ class DenseQP:
         )
         self._solve = jax.jit(partial(_admm_solve, settings=s))
 
+    def solve_batch(self, qs, ls, us, x0s=None, y0s=None) -> QPSolution:
+        """Solve a batch of QPs sharing (P, A) — vmapped ADMM, one
+        device dispatch for the whole batch (the scenario-axis primitive:
+        Monte-Carlo disturbance scenarios, control-period sweeps)."""
+        dt = self.settings.dtype
+        qs = jnp.asarray(qs, dt)
+        b = qs.shape[0]
+        ls = jnp.asarray(ls, dt)
+        us = jnp.asarray(us, dt)
+        if x0s is None:
+            x0s = jnp.zeros((b, self.n), dt)
+        if y0s is None:
+            y0s = jnp.zeros((b, self.m), dt)
+        if not hasattr(self, "_solve_vmapped"):
+            self._solve_vmapped = jax.jit(
+                jax.vmap(
+                    partial(_admm_solve, settings=self.settings),
+                    in_axes=(None, 0, 0, 0, 0, 0),
+                )
+            )
+        return self._solve_vmapped(self.consts, qs, ls, us, x0s, y0s)
+
     def solve(
         self, q, l, u, x0=None, y0=None
     ) -> QPSolution:

@@ -148,7 +148,13 @@ class GaussianSum:
         logits = jnp.log(self.weights)
         comp = jax.random.categorical(kc, logits, shape=(size,))
         eps = jax.random.normal(kn, (size, self.n_dim), dtype=self.means.dtype)
-        out = self.means[comp] + jnp.einsum("nij,nj->ni", self.chol[comp], eps)
+        # Component selection via one-hot matmuls instead of per-sample
+        # (Nd, Nx, Nx) gathers: Nd is tiny (2 in the canonical rig), so
+        # computing every component's affine and selecting keeps the work
+        # on the MXU and off the slow dynamic-gather path.
+        onehot = jax.nn.one_hot(comp, self.n_components, dtype=eps.dtype)
+        scaled = jnp.einsum("nj,dij->ndi", eps, self.chol)
+        out = onehot @ self.means + jnp.einsum("nd,ndi->ni", onehot, scaled)
         return out.reshape(shape + (self.n_dim,))
 
     # ------------------------------------------------------------------

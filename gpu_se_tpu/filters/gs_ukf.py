@@ -19,6 +19,7 @@ from flax import struct
 
 from gpu_se_tpu.distributions.gaussian_sum import GaussianSum
 from gpu_se_tpu.filters.resampling import systematic_resample
+from gpu_se_tpu.ops.smallmat import cholesky_small, inv_small
 
 
 @struct.dataclass
@@ -56,9 +57,9 @@ def _batched_cholesky_jittered(covs: jax.Array, jitter: float = 1e-10) -> jax.Ar
     """
     nx = covs.shape[-1]
     eye = jnp.eye(nx, dtype=covs.dtype)
-    l0 = jnp.linalg.cholesky(covs)
+    l0 = cholesky_small(covs)
     bad = jnp.isnan(l0).any(axis=(-2, -1), keepdims=True)
-    l1 = jnp.linalg.cholesky(covs + jitter * eye)
+    l1 = cholesky_small(covs + jitter * eye)
     return jnp.where(bad, l1, l0)
 
 
@@ -133,7 +134,7 @@ def update(
 
     p_xy = jnp.einsum("nsx,s,nsy->nxy", sig_c, w_sigma, eta_c)
     p_yy = jnp.einsum("nsx,s,nsy->nxy", eta_c, w_sigma, eta_c)
-    gains = p_xy @ jnp.linalg.inv(p_yy)
+    gains = p_xy @ inv_small(p_yy)
 
     es = z - eta_means
     means = state.means + jnp.einsum("nxy,ny->nx", gains, es)

@@ -1,0 +1,77 @@
+"""Batched small-matrix kernels (n <= ~8) as unrolled elementwise ops.
+
+XLA's batched ``jnp.linalg.cholesky``/``inv`` lower to per-matrix LAPACK-
+style loops that serialize terribly on TPU for huge batches of tiny
+matrices (the GSUKF regime: (N, 5, 5) covariances, (N, 2, 2) innovation
+matrices — cf. /root/reference/filter/gs_ukf.py which used Torch batched
+kernels for the same reason). Unrolling the factorization over the
+static small dimension turns everything into vectorized elementwise math
+on the VPU over the batch axis.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def cholesky_small(covs: jnp.ndarray) -> jnp.ndarray:
+    """Lower Cholesky of a batch of small SPD matrices (..., n, n).
+
+    Unrolled Cholesky-Crout; returns NaN entries for non-PD inputs
+    (same contract as jnp.linalg.cholesky).
+    """
+    n = covs.shape[-1]
+    cols = [[None] * n for _ in range(n)]  # cols[i][j] = L[..., i, j]
+    for j in range(n):
+        s = covs[..., j, j]
+        for k in range(j):
+            s = s - cols[j][k] * cols[j][k]
+        d = jnp.sqrt(s)
+        cols[j][j] = d
+        inv_d = 1.0 / d
+        for i in range(j + 1, n):
+            s2 = covs[..., i, j]
+            for k in range(j):
+                s2 = s2 - cols[i][k] * cols[j][k]
+            cols[i][j] = s2 * inv_d
+    zero = jnp.zeros_like(covs[..., 0, 0])
+    rows = [
+        jnp.stack([cols[i][j] if j <= i else zero for j in range(n)], axis=-1)
+        for i in range(n)
+    ]
+    return jnp.stack(rows, axis=-2)
+
+
+def inv_small(mats: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of a batch of small matrices (..., n, n), n in {1, 2, 3};
+    falls back to jnp.linalg.inv for larger n."""
+    n = mats.shape[-1]
+    if n == 1:
+        return 1.0 / mats
+    if n == 2:
+        a, b = mats[..., 0, 0], mats[..., 0, 1]
+        c, d = mats[..., 1, 0], mats[..., 1, 1]
+        det = a * d - b * c
+        inv_det = 1.0 / det
+        row0 = jnp.stack([d * inv_det, -b * inv_det], axis=-1)
+        row1 = jnp.stack([-c * inv_det, a * inv_det], axis=-1)
+        return jnp.stack([row0, row1], axis=-2)
+    if n == 3:
+        m = mats
+        c00 = m[..., 1, 1] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 1]
+        c01 = m[..., 1, 2] * m[..., 2, 0] - m[..., 1, 0] * m[..., 2, 2]
+        c02 = m[..., 1, 0] * m[..., 2, 1] - m[..., 1, 1] * m[..., 2, 0]
+        c10 = m[..., 0, 2] * m[..., 2, 1] - m[..., 0, 1] * m[..., 2, 2]
+        c11 = m[..., 0, 0] * m[..., 2, 2] - m[..., 0, 2] * m[..., 2, 0]
+        c12 = m[..., 0, 1] * m[..., 2, 0] - m[..., 0, 0] * m[..., 2, 1]
+        c20 = m[..., 0, 1] * m[..., 1, 2] - m[..., 0, 2] * m[..., 1, 1]
+        c21 = m[..., 0, 2] * m[..., 1, 0] - m[..., 0, 0] * m[..., 1, 2]
+        c22 = m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
+        det = m[..., 0, 0] * c00 + m[..., 0, 1] * c01 + m[..., 0, 2] * c02
+        inv_det = 1.0 / det
+        rows = [
+            jnp.stack([c00, c10, c20], axis=-1),
+            jnp.stack([c01, c11, c21], axis=-1),
+            jnp.stack([c02, c12, c22], axis=-1),
+        ]
+        return jnp.stack(rows, axis=-2) * inv_det[..., None, None]
+    return jnp.linalg.inv(mats)

@@ -1,0 +1,163 @@
+"""Multi-chip particle filtering: GSPMD auto-sharding + explicit shard_map.
+
+Two complementary paths over a 1-D ``Mesh('particles')``:
+
+* :func:`auto_sharded_step` — the *same* functional PF step jitted with
+  ``NamedSharding`` constraints. XLA partitions the vmapped f/g
+  elementwise work, psums the weight reductions, and all-gathers for the
+  resampling gather. With ``jax_threefry_partitionable`` the noise draws
+  are bitwise identical to the single-device run, so shard-invariance is
+  exact — this is the correctness anchor.
+
+* :func:`shard_map_step` — explicit SPMD: per-shard predict/update, then
+  distributed systematic resampling as local inclusive scan + exclusive
+  offset from an all-gather of shard totals + all-gather particle
+  exchange over ICI. This is the hand-scheduled analogue of the
+  reference's CUDA pipeline (torch cumsum + Nicely kernel + gather,
+  /root/reference/filter/particle.py:296-316) and the template for the
+  >=2^24-particle regime where the exchange should become a ragged
+  ppermute. Noise is drawn *outside* the shard_map with partitionable
+  keys so both paths see identical randomness.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from gpu_se_tpu.distributions.gaussian_sum import GaussianSum
+from gpu_se_tpu.filters.particle import PFState
+from gpu_se_tpu.parallel.mesh import PARTICLE_AXIS
+
+
+# ----------------------------------------------------------------------
+# Path 1: GSPMD auto-sharding of the functional core
+# ----------------------------------------------------------------------
+def shard_pf_state(state: PFState, mesh: Mesh) -> PFState:
+    """Place a PFState with particles/weights sharded over the mesh."""
+    psh = NamedSharding(mesh, P(PARTICLE_AXIS))
+    rsh = NamedSharding(mesh, P())
+    return PFState(
+        particles=jax.device_put(state.particles, NamedSharding(mesh, P(PARTICLE_AXIS, None))),
+        weights=jax.device_put(state.weights, psh),
+        key=jax.device_put(state.key, rsh),
+    )
+
+
+def make_auto_sharded_step(mesh: Mesh, f: Callable, g: Callable):
+    """Jit the fused PF step with sharding constraints; XLA inserts the
+    collectives (psum for moments, all-gather for the resample gather)."""
+    from gpu_se_tpu.filters import particle as pf_core
+
+    p_sh = NamedSharding(mesh, P(PARTICLE_AXIS, None))
+    w_sh = NamedSharding(mesh, P(PARTICLE_AXIS))
+    r_sh = NamedSharding(mesh, P())
+
+    state_shardings = PFState(particles=p_sh, weights=w_sh, key=r_sh)
+
+    @partial(
+        jax.jit,
+        in_shardings=(state_shardings, r_sh, r_sh, r_sh, None, None),
+        out_shardings=state_shardings,
+    )
+    def step(state, u, z, dt, state_pdf, measurement_pdf):
+        return pf_core.step(state, u, z, dt, f, g, state_pdf, measurement_pdf)
+
+    return step
+
+
+# ----------------------------------------------------------------------
+# Path 2: explicit shard_map SPMD
+# ----------------------------------------------------------------------
+def _local_predict(particles, u, dt, noise, f):
+    deltas = jax.vmap(f, in_axes=(0, None, None))(particles, u, dt)
+    return particles + deltas + noise
+
+
+def _local_update(particles, weights, u, z, g, measurement_pdf):
+    ys = jax.vmap(g, in_axes=(0, None))(particles, u)
+    return weights * measurement_pdf.pdf(z - ys)
+
+
+def _distributed_systematic_resample(particles, weights, r, axis: str):
+    """Systematic resample across shards.
+
+    Global normalized cumsum = local inclusive scan + exclusive offset of
+    shard totals (psum-style all-gather over ICI); each shard searches the
+    global cumsum for its own output slots and gathers ancestors from an
+    all-gathered particle pool.
+    """
+    n_local = weights.shape[0]
+    idx = jax.lax.axis_index(axis)
+    totals = jax.lax.all_gather(jnp.sum(weights), axis)  # (n_shards,)
+    n_shards = totals.shape[0]
+    offset = jnp.sum(jnp.where(jnp.arange(n_shards) < idx, totals, 0.0))
+    total = jnp.sum(totals)
+
+    local_cum = jnp.cumsum(weights) + offset
+    cum_global = jax.lax.all_gather(local_cum, axis).reshape(-1) / total
+
+    n_global = n_local * n_shards
+    slots = idx * n_local + jnp.arange(n_local)
+    u_pos = (slots.astype(weights.dtype) + r) / n_global
+    ancestors = jnp.clip(
+        jnp.searchsorted(cum_global, u_pos, side="left", method="sort"),
+        0,
+        n_global - 1,
+    )
+
+    pool = jax.lax.all_gather(particles, axis).reshape(n_global, particles.shape[-1])
+    new_particles = jnp.take(pool, ancestors, axis=0)
+    new_weights = jnp.full((n_local,), 1.0 / n_global, dtype=weights.dtype)
+    return new_particles, new_weights
+
+
+def make_shard_map_step(mesh: Mesh, f: Callable, g: Callable,
+                        axis: str = PARTICLE_AXIS):
+    """Fused sharded PF step with hand-written collectives.
+
+    Noise/uniform draws happen outside the shard_map with partitionable
+    keys, so results are bitwise identical to the single-device step
+    whenever XLA keeps the elementwise math in the same order.
+    """
+
+    def step(state: PFState, u, z, dt, state_pdf: GaussianSum,
+             measurement_pdf: GaussianSum) -> PFState:
+        n = state.particles.shape[0]
+        key, k_noise, k_r = jax.random.split(state.key, 3)
+        noise = state_pdf.draw(k_noise, (n,))
+        r = jax.random.uniform(k_r, ())
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(
+                P(axis, None), P(axis), P(), P(), P(), P(axis, None), P(),
+            ),
+            out_specs=(P(axis, None), P(axis)),
+            check_vma=False,
+        )
+        def sharded(particles, weights, u, z, dt, noise, r):
+            particles = _local_predict(particles, u, dt, noise, f)
+            weights = _local_update(particles, weights, u, z, g, measurement_pdf)
+            return _distributed_systematic_resample(particles, weights, r, axis)
+
+        particles, weights = sharded(
+            state.particles, state.weights, u, z,
+            jnp.asarray(dt, state.particles.dtype), noise, r,
+        )
+        return PFState(particles=particles, weights=weights, key=key)
+
+    p_sh = NamedSharding(mesh, P(axis, None))
+    w_sh = NamedSharding(mesh, P(axis))
+    r_sh = NamedSharding(mesh, P())
+    state_shardings = PFState(particles=p_sh, weights=w_sh, key=r_sh)
+    return jax.jit(
+        step,
+        in_shardings=(state_shardings, r_sh, r_sh, None, None, None),
+        out_shardings=state_shardings,
+    )

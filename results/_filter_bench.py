@@ -1,0 +1,110 @@
+"""Shared filter-benchmark machinery for the run-sequence experiments.
+
+Builds the canonical-rig filter at a given particle count on a chosen
+backend (accelerator or host CPU — same code, different device, replacing
+the reference's twin-class split), then times predict / update / resample
+/ full-step with chained inputs so nothing is served from caches.
+Methodology follows /root/reference/results/pf_openloop/pf_run_seq.py:
+wall-clock run sequences, medians with quantile bars, pacf validity gate.
+"""
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpu_se_tpu.distributions import GaussianSum
+from gpu_se_tpu.filters import gs_ukf, particle as pf_core
+from gpu_se_tpu.models import bioreactor as bio
+
+
+def rig_dists():
+    x_ss = np.array([280 / 180, 640 / 24.6, 1000 / 116, 0.0, 0.0])
+    x0 = GaussianSum.create(
+        np.stack([x_ss, x_ss]),
+        np.stack([np.eye(5) * 1e-4, np.eye(5) * 1e-3]),
+        np.array([0.75, 0.25]),
+    )
+    state_pdf = GaussianSum.create(
+        np.zeros((2, 5)),
+        np.stack(
+            [
+                np.diag([1e-4, 1e-7, 1e-3, 1e-3, 1e-7]),
+                np.diag([1e-3, 1e-6, 1e-2, 1e-2, 1e-6]),
+            ]
+        ),
+        np.array([0.75, 0.25]),
+    )
+    meas_pdf = GaussianSum.create(
+        np.array([[1e-1, 0], [0, -1e-1]]),
+        np.array([[[6e-2, 0], [0, 8e-2]], [[500, 100], [100, 700]]]),
+        np.array([0.85, 0.15]),
+    )
+    return x_ss, x0, state_pdf, meas_pdf
+
+
+def get_device(gpu: bool):
+    """gpu=True -> default accelerator; gpu=False -> host CPU backend."""
+    if gpu:
+        return jax.devices()[0]
+    return jax.devices("cpu")[0]
+
+
+def build(kind: str, n: int, gpu: bool):
+    """Return (state, ops) for ``kind`` in {'pf', 'gsf'} on the device."""
+    x_ss, x0, state_pdf, meas_pdf = rig_dists()
+    f = bio.Bioreactor.homeostatic_DEs
+    g = bio.Bioreactor.static_outputs
+    u = jnp.array([0.06, 0.2])
+    z = jnp.asarray(bio.static_outputs(x_ss, np.asarray(u), xp=np), jnp.float32)
+    dev = get_device(gpu)
+    core = pf_core if kind == "pf" else gs_ukf
+
+    with jax.default_device(dev):
+        if kind == "pf":
+            state = pf_core.init(jax.random.PRNGKey(0), n, x0)
+        else:
+            state = gs_ukf.init(jax.random.PRNGKey(0), n, x0, state_pdf)
+        state = jax.device_put(state, dev)
+        ops = dict(
+            predict=jax.jit(
+                lambda s: core.predict(s, u, jnp.float32(0.1), f, state_pdf),
+                device=dev,
+            ),
+            update=jax.jit(lambda s: core.update(s, u, z, g, meas_pdf), device=dev),
+            resample=jax.jit(core.resample, device=dev),
+            step=jax.jit(
+                lambda s: core.step(s, u, z, jnp.float32(0.1), f, g, state_pdf, meas_pdf),
+                device=dev,
+            ),
+        )
+    return state, ops
+
+
+def _leaf(s):
+    return jax.tree_util.tree_leaves(s)[0]
+
+
+def time_op(op, state, runs: int) -> np.ndarray:
+    """Chained wall-clock run sequence (one timing per run).
+
+    Chaining state through the op defeats the remote platform's
+    identical-call caching, matching real closed-loop usage.
+    """
+    s = op(state)
+    jax.block_until_ready(_leaf(s))
+    out = np.empty(runs)
+    for i in range(runs):
+        t0 = time.perf_counter()
+        s = op(s)
+        jax.block_until_ready(_leaf(s))
+        out[i] = time.perf_counter() - t0
+    return out
+
+
+def run_seq(kind: str, op_name: str, n: int, runs: int, gpu: bool) -> np.ndarray:
+    state, ops = build(kind, n, gpu)
+    return time_op(ops[op_name], state, runs)

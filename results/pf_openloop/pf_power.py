@@ -1,0 +1,60 @@
+"""Energy per PF kernel run, CPU vs accelerator.
+
+Re-creation of /root/reference/results/pf_openloop/pf_power.py: run each
+kernel for ~t_run seconds under the background power sampler and report
+J/run.
+"""
+import time
+
+import jax
+import numpy as np
+
+from gpu_se_tpu.utils import PickleJar, PowerMeasurement, RunSequences
+from results._common import save_fig
+from results._filter_bench import build, _leaf
+
+N_LOG2 = np.arange(0, 21, 2.0)
+
+
+@RunSequences.vectorize
+@PickleJar.pickle(path="pf/power")
+@PowerMeasurement.measure
+def step_energy(N, t_run, gpu):
+    """Runs fused PF steps for ``t_run`` seconds; returns run count
+    (cf. pf_power.py:9-12 decorator stack in the reference)."""
+    state, ops = build("pf", N, gpu)
+    op = ops["step"]
+    s = op(state)
+    jax.block_until_ready(_leaf(s))
+    t_end = time.time() + t_run
+    count = 0
+    while time.time() < t_end:
+        s = op(s)
+        count += 1
+    jax.block_until_ready(_leaf(s))
+    return count
+
+
+def energy_per_run(t_run=5.0, gpu=True, log2s=N_LOG2):
+    ns = (2.0**log2s).astype(int)
+    _, results = step_energy(ns, t_run, gpu)
+    rows = []
+    for n, (count, energy) in zip(ns, results):
+        rows.append((int(n), float(energy[0] / count), float(energy[1] / count)))
+    return rows
+
+
+def plot(t_run=5.0):
+    import matplotlib.pyplot as plt
+
+    for gpu, label in ((True, "TPU"), (False, "CPU")):
+        rows = energy_per_run(t_run, gpu)
+        ns = [r[0] for r in rows]
+        total = [r[1] + r[2] for r in rows]
+        plt.loglog(ns, total, ".-", label=label)
+    plt.xlabel("N particles"); plt.ylabel("J / step"); plt.legend()
+    return save_fig("pf_power.png")
+
+
+if __name__ == "__main__":
+    plot()

@@ -21,32 +21,50 @@ from gpu_se_tpu.models import LinearModel, TankModel, create_linear_model
 
 
 # ----------------------------------------------------------------------
-def numpy_admm_qp(H, A, q, l, u, max_iter=60000, tol=1e-9):
-    """Independent float64 ADMM QP solver (OSQP algorithm) used as ground
-    truth for the formulation-equivalence tests."""
+def numpy_admm_qp(H, A, q, l, u, max_iter=60000, tol=1e-9, warm=None):
+    """Independent float64 ADMM QP solver (OSQP algorithm, incl. adaptive
+    rho) used as ground truth for the formulation-equivalence tests.
+
+    Returns ``(x, warm_state)`` so closed-loop callers can warm start.
+    """
     n, m = H.shape[0], A.shape[0]
     sigma, alpha = 1e-6, 1.6
-    rho = np.where(np.isclose(l, u), 1e3 * 0.1, 0.1)
-    K = H + sigma * np.eye(n) + A.T @ (rho[:, None] * A)
-    K_inv = np.linalg.inv(K)
-    x, z, y = np.zeros(n), np.zeros(m), np.zeros(m)
-    for it in range(max_iter):
+    eq = np.isclose(l, u)
+    rho = np.where(eq, 1e3 * 0.1, 0.1)
+
+    def factor(rho):
+        K = H + sigma * np.eye(n) + A.T @ (rho[:, None] * A)
+        return np.linalg.inv(K)
+
+    K_inv = factor(rho)
+    if warm is not None:
+        x, z, y = (v.copy() for v in warm)
+    else:
+        x, z, y = np.zeros(n), np.zeros(m), np.zeros(m)
+    l_c = np.where(np.isfinite(l), l, -1e30)
+    u_c = np.where(np.isfinite(u), u, 1e30)
+    for it in range(1, max_iter + 1):
         rhs = sigma * x - q + A.T @ (rho * z - y)
         xt = K_inv @ rhs
         x_new = alpha * xt + (1 - alpha) * x
         zt = A @ xt
         z_pre = alpha * zt + (1 - alpha) * z + y / rho
-        z_new = np.clip(z_pre, l, u)
+        z_new = np.clip(z_pre, l_c, u_c)
         y = rho * (z_pre - z_new)
         x, z = x_new, z_new
-        if it % 100 == 0:
+        if it % 50 == 0:
             prim = np.max(np.abs(A @ x - z))
             dual = np.max(np.abs(H @ x + q + A.T @ y))
-            if prim < tol * max(1, np.abs(z).max()) and dual < tol * max(
-                1, np.abs(q).max()
-            ):
+            den_p = max(1e-10, np.abs(A @ x).max(), np.abs(z).max())
+            den_d = max(1e-10, np.abs(H @ x).max(), np.abs(q).max(),
+                        np.abs(A.T @ y).max())
+            if prim < tol * max(1, den_p) and dual < tol * max(1, den_d):
                 break
-    return x
+            factor_r = np.sqrt((prim / den_p) / max(dual / den_d, 1e-12))
+            if factor_r > 5 or factor_r < 0.2:
+                rho = np.clip(rho * factor_r, 1e-6, 1e6)
+                K_inv = factor(rho)
+    return x, (x, z, y)
 
 
 # ----------------------------------------------------------------------
@@ -161,6 +179,7 @@ class ReferenceLayoutMPC:
         self.q = q
         self.Nx, self.Ni, self.No = Nx, Ni, No
         self.y_predicted = None
+        self._warm = None
 
     def step(self, x0, um1, y0):
         Nx, Ni, No, P = self.Nx, self.Ni, self.No, self.P
@@ -172,7 +191,7 @@ class ReferenceLayoutMPC:
         bias = (y0 - self.y_predicted) if self.y_predicted is not None else np.zeros_like(y0)
         l[Ni + (P + 1) * Nx:Ni + (P + 1) * Nx + P * No] = np.tile(-bias, P)
         u[Ni + (P + 1) * Nx:Ni + (P + 1) * Nx + P * No] = np.tile(-bias, P)
-        x = numpy_admm_qp(self.H, self.A, self.q, l, u)
+        x, self._warm = numpy_admm_qp(self.H, self.A, self.q, l, u, warm=self._warm)
         m = (P + 1) * Nx + P * No + Ni
         ctrl = x[m:m + Ni] + um1
         self.y_predicted = x[(P + 1) * Nx:(P + 1) * Nx + No] - bias

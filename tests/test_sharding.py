@@ -1,0 +1,137 @@
+"""Multi-device tests on the virtual 8-CPU mesh (SURVEY.md section 4 item 8):
+shard-invariance of the PF step and agreement between the GSPMD auto path
+and the explicit shard_map path."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpu_se_tpu.distributions import GaussianSum
+from gpu_se_tpu.filters import particle as pf_core
+from gpu_se_tpu.parallel import (
+    make_auto_sharded_step,
+    make_mesh,
+    make_shard_map_step,
+    shard_pf_state,
+)
+from gpu_se_tpu.models import bioreactor as bio
+
+
+N = 1024
+
+
+@pytest.fixture(scope="module")
+def rig():
+    x_ss = np.array([280 / 180, 640 / 24.6, 1000 / 116, 0.0, 0.0])
+    x0 = GaussianSum.create(
+        np.stack([x_ss, x_ss]),
+        np.stack([np.eye(5) * 1e-4, np.eye(5) * 1e-3]),
+        np.array([0.75, 0.25]),
+    )
+    state_pdf = GaussianSum.create(
+        np.zeros((2, 5)),
+        np.stack(
+            [
+                np.diag([1e-4, 1e-7, 1e-3, 1e-3, 1e-7]),
+                np.diag([1e-3, 1e-6, 1e-2, 1e-2, 1e-6]),
+            ]
+        ),
+        np.array([0.75, 0.25]),
+    )
+    meas_pdf = GaussianSum.create(
+        np.array([[1e-1, 0], [0, -1e-1]]),
+        np.array([[[6e-2, 0], [0, 8e-2]], [[500, 100], [100, 700]]]),
+        np.array([0.85, 0.15]),
+    )
+    f = bio.Bioreactor.homeostatic_DEs
+    g = bio.Bioreactor.static_outputs
+    u = jnp.array([0.06, 0.2])
+    z = jnp.asarray(bio.static_outputs(x_ss, np.asarray(u), xp=np), jnp.float32)
+    state = pf_core.init(jax.random.PRNGKey(0), N, x0)
+    return dict(x0=x0, state_pdf=state_pdf, meas_pdf=meas_pdf, f=f, g=g, u=u,
+                z=z, state=state)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_auto_sharded_matches_single_device(rig):
+    """GSPMD-sharded step == single-device step, bitwise-tolerant."""
+    mesh8 = make_mesh(8)
+    step8 = make_auto_sharded_step(mesh8, rig["f"], rig["g"])
+
+    # single-device reference
+    ref = pf_core.step(
+        rig["state"], rig["u"], rig["z"], jnp.float32(0.1),
+        rig["f"], rig["g"], rig["state_pdf"], rig["meas_pdf"],
+    )
+    sharded_state = shard_pf_state(rig["state"], mesh8)
+    out = step8(
+        sharded_state, rig["u"], rig["z"], jnp.float32(0.1),
+        rig["state_pdf"], rig["meas_pdf"],
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.particles), np.asarray(ref.particles), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(np.asarray(out.weights), np.asarray(ref.weights))
+
+
+def test_shard_map_matches_single_device(rig):
+    """Explicit shard_map pipeline (local scan + offset + all_gather)
+    produces the same resampled ensemble as the single-device step run
+    with the identical key schedule."""
+    mesh8 = make_mesh(8)
+    stepm = make_shard_map_step(mesh8, rig["f"], rig["g"])
+    out = stepm(
+        shard_pf_state(rig["state"], mesh8), rig["u"], rig["z"], jnp.float32(0.1),
+        rig["state_pdf"], rig["meas_pdf"],
+    )
+
+    # replicate the key schedule of make_shard_map_step on one device
+    state = rig["state"]
+    key, k_noise, k_r = jax.random.split(state.key, 3)
+    noise = rig["state_pdf"].draw(k_noise, (N,))
+    r = jax.random.uniform(k_r, ())
+    parts = state.particles + jax.vmap(rig["f"], in_axes=(0, None, None))(
+        state.particles, rig["u"], jnp.float32(0.1)
+    ) + noise
+    ys = jax.vmap(rig["g"], in_axes=(0, None))(parts, rig["u"])
+    weights = state.weights * rig["meas_pdf"].pdf(rig["z"] - ys)
+    from gpu_se_tpu.filters.resampling import systematic_resample_indices
+
+    idx = systematic_resample_indices(weights, r)
+    expected = jnp.take(parts, idx, axis=0)
+
+    np.testing.assert_allclose(
+        np.asarray(out.particles), np.asarray(expected), rtol=2e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(out.weights), 1.0 / N)
+
+
+def test_shard_map_multi_step_stays_finite(rig):
+    mesh8 = make_mesh(8)
+    stepm = make_shard_map_step(mesh8, rig["f"], rig["g"])
+    state = shard_pf_state(rig["state"], mesh8)
+    for _ in range(5):
+        state = stepm(
+            state, rig["u"], rig["z"], jnp.float32(0.1),
+            rig["state_pdf"], rig["meas_pdf"],
+        )
+    est = np.asarray(pf_core.point_estimate(state))
+    assert np.isfinite(est).all()
+
+
+def test_mesh_sizes_1_2_4_8_agree(rig):
+    """Same result for every mesh width (shard-invariance across sizes)."""
+    results = []
+    for nd in (1, 2, 4, 8):
+        mesh = make_mesh(nd)
+        step = make_auto_sharded_step(mesh, rig["f"], rig["g"])
+        out = step(
+            shard_pf_state(rig["state"], mesh), rig["u"], rig["z"],
+            jnp.float32(0.1), rig["state_pdf"], rig["meas_pdf"],
+        )
+        results.append(np.asarray(out.particles))
+    for r_ in results[1:]:
+        np.testing.assert_allclose(r_, results[0], rtol=1e-6, atol=1e-7)
