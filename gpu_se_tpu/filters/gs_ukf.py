@@ -147,6 +147,23 @@ def update(
     return GSUKFState(means=means, covariances=covs, weights=weights, key=state.key)
 
 
+def update_stabilized(
+    state: GSUKFState, u: jax.Array, z: jax.Array, g: Callable,
+    measurement_pdf: GaussianSum,
+) -> GSUKFState:
+    """Local UKF update + log-space global weight update (the stable form
+    of the reference's ad-hoc /=1e3 rescale, SURVEY.md Appendix A)."""
+    new = update(state, u, z, g, measurement_pdf)
+    # redo the weight part in log space
+    y_means = jax.vmap(g, in_axes=(0, None))(new.means, u)
+    logw = jnp.log(jnp.maximum(state.weights, 1e-38)) + measurement_pdf.logpdf(
+        z - y_means
+    )
+    logw = logw - jnp.max(logw)
+    w = jnp.exp(logw)
+    return new.replace(weights=w / jnp.sum(w))
+
+
 def resample(state: GSUKFState) -> GSUKFState:
     """Systematic resample of (means, covariances)
     (cf. /root/reference/filter/gs_ukf.py:151-170)."""

@@ -73,6 +73,24 @@ def update(
     return state.replace(weights=state.weights * ws)
 
 
+def update_stabilized(
+    state: PFState, u: jax.Array, z: jax.Array, g: Callable, measurement_pdf: GaussianSum
+) -> PFState:
+    """Log-space weight update: w_i ∝ exp(log w_i + logpdf_i - max).
+
+    Numerically stable replacement for the linear multiply — the reference
+    had to rescale weights by hand to dodge float32 underflow during
+    repeated updates (/root/reference/results/gsf_openloop/gsf_power.py;
+    SURVEY.md Appendix A). Weights come back normalized; downstream
+    resampling/moments are normalization-invariant.
+    """
+    ys = jax.vmap(g, in_axes=(0, None))(state.particles, u)
+    logw = jnp.log(jnp.maximum(state.weights, 1e-38)) + measurement_pdf.logpdf(z - ys)
+    logw = logw - jnp.max(logw)
+    w = jnp.exp(logw)
+    return state.replace(weights=w / jnp.sum(w))
+
+
 def resample(state: PFState) -> PFState:
     """Systematic resample (cf. /root/reference/filter/particle.py:85-103)."""
     key, sub = jax.random.split(state.key)

@@ -10,8 +10,10 @@ from gpu_se_tpu.parallel.scenario import (
     make_scenario_solver,
 )
 from gpu_se_tpu.parallel.sharded import (
+    make_auto_sharded_gsukf_step,
     make_auto_sharded_step,
     make_shard_map_step,
+    shard_gsukf_state,
     shard_pf_state,
 )
 
@@ -23,6 +25,8 @@ __all__ = [
     "make_auto_sharded_step",
     "make_shard_map_step",
     "shard_pf_state",
+    "shard_gsukf_state",
+    "make_auto_sharded_gsukf_step",
     "make_scenario_solver",
     "make_averaged_scenario_step",
     "initialize_distributed",

@@ -161,3 +161,44 @@ def make_shard_map_step(mesh: Mesh, f: Callable, g: Callable,
         in_shardings=(state_shardings, r_sh, r_sh, None, None, None),
         out_shardings=state_shardings,
     )
+
+
+# ----------------------------------------------------------------------
+# GSUKF sharding: the same particle-axis story over the Gaussian bank
+# ----------------------------------------------------------------------
+def shard_gsukf_state(state, mesh: Mesh):
+    """Place a GSUKFState with the bank axis sharded over the mesh."""
+    from gpu_se_tpu.filters.gs_ukf import GSUKFState
+
+    return GSUKFState(
+        means=jax.device_put(state.means, NamedSharding(mesh, P(PARTICLE_AXIS, None))),
+        covariances=jax.device_put(
+            state.covariances, NamedSharding(mesh, P(PARTICLE_AXIS, None, None))
+        ),
+        weights=jax.device_put(state.weights, NamedSharding(mesh, P(PARTICLE_AXIS))),
+        key=jax.device_put(state.key, NamedSharding(mesh, P())),
+    )
+
+
+def make_auto_sharded_gsukf_step(mesh: Mesh, f: Callable, g: Callable):
+    """GSPMD-sharded fused GSUKF step (bank axis data-parallel): the
+    batched Cholesky/UKF math partitions elementwise over the bank; the
+    weight reductions and the resampling gather become psum/all-gather."""
+    from gpu_se_tpu.filters import gs_ukf
+    from gpu_se_tpu.filters.gs_ukf import GSUKFState
+
+    m_sh = NamedSharding(mesh, P(PARTICLE_AXIS, None))
+    c_sh = NamedSharding(mesh, P(PARTICLE_AXIS, None, None))
+    w_sh = NamedSharding(mesh, P(PARTICLE_AXIS))
+    r_sh = NamedSharding(mesh, P())
+    state_sh = GSUKFState(means=m_sh, covariances=c_sh, weights=w_sh, key=r_sh)
+
+    @partial(
+        jax.jit,
+        in_shardings=(state_sh, r_sh, r_sh, r_sh, None, None),
+        out_shardings=state_sh,
+    )
+    def step(state, u, z, dt, state_pdf, measurement_pdf):
+        return gs_ukf.step(state, u, z, dt, f, g, state_pdf, measurement_pdf)
+
+    return step

@@ -190,3 +190,34 @@ def test_point_estimate_weighted():
     cov = dist.T @ (dist * w[:, None])
     expected = np.linalg.svd(cov, compute_uv=False)[0]
     assert float(pf.point_covariance(state)) == pytest.approx(expected, rel=1e-5)
+
+
+def test_stabilized_update_survives_repeated_updates():
+    """Linear-space weights underflow to all-zeros under repeated extreme
+    updates; the log-space update stays normalized (the failure mode the
+    reference patched with a manual /=1e3 rescale)."""
+    f, g, x0, state_pdf, measurement_pdf = toy_parts()
+    state = pf.init(jax.random.PRNGKey(0), 128, x0)
+    z_far = np.array([1e4])  # measurement far in the tails
+    u = np.array([0.1, 0.2])
+
+    lin = state
+    stab = state
+    for _ in range(6):
+        lin = pf.update(lin, jnp.asarray(u), jnp.asarray(z_far), g, measurement_pdf)
+        stab = pf.update_stabilized(
+            stab, jnp.asarray(u), jnp.asarray(z_far), g, measurement_pdf
+        )
+    assert float(jnp.sum(lin.weights)) == 0.0  # linear path underflows
+    np.testing.assert_allclose(float(jnp.sum(stab.weights)), 1.0, rtol=1e-5)
+    assert bool(jnp.isfinite(stab.weights).all())
+
+
+def test_stabilized_update_matches_linear_when_benign():
+    f, g, x0, state_pdf, measurement_pdf = toy_parts()
+    state = pf.init(jax.random.PRNGKey(1), 256, x0)
+    u, z = np.array([0.1, 0.2]), np.array([10.0])
+    a = pf.update(state, jnp.asarray(u), jnp.asarray(z), g, measurement_pdf)
+    b = pf.update_stabilized(state, jnp.asarray(u), jnp.asarray(z), g, measurement_pdf)
+    wa = np.asarray(a.weights) / np.asarray(a.weights).sum()
+    np.testing.assert_allclose(wa, np.asarray(b.weights), rtol=1e-3, atol=1e-7)

@@ -135,3 +135,28 @@ def test_mesh_sizes_1_2_4_8_agree(rig):
         results.append(np.asarray(out.particles))
     for r_ in results[1:]:
         np.testing.assert_allclose(r_, results[0], rtol=1e-6, atol=1e-7)
+
+
+def test_gsukf_auto_sharded_matches_single_device(rig):
+    """GSPMD-sharded GSUKF step == single-device step."""
+    from gpu_se_tpu.filters import gs_ukf
+    from gpu_se_tpu.parallel import make_auto_sharded_gsukf_step, shard_gsukf_state
+
+    n = 64
+    state = gs_ukf.init(jax.random.PRNGKey(0), n, rig["x0"], rig["state_pdf"])
+    ref = gs_ukf.step(
+        state, rig["u"], rig["z"], jnp.float32(0.1),
+        rig["f"], rig["g"], rig["state_pdf"], rig["meas_pdf"],
+    )
+    mesh8 = make_mesh(8)
+    step8 = make_auto_sharded_gsukf_step(mesh8, rig["f"], rig["g"])
+    out = step8(
+        shard_gsukf_state(state, mesh8), rig["u"], rig["z"], jnp.float32(0.1),
+        rig["state_pdf"], rig["meas_pdf"],
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.means), np.asarray(ref.means), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.covariances), np.asarray(ref.covariances), rtol=1e-4, atol=1e-6
+    )
