@@ -108,3 +108,62 @@ def time_op(op, state, runs: int) -> np.ndarray:
 def run_seq(kind: str, op_name: str, n: int, runs: int, gpu: bool) -> np.ndarray:
     state, ops = build(kind, n, gpu)
     return time_op(ops[op_name], state, runs)
+
+
+def breakdown_pf(n: int, runs: int, gpu: bool):
+    """Per-stage timings of the PF cycle (cf. the sub-routine fraction
+    stack plots, /root/reference/results/pf_openloop/pf_run_seq.py:517-554):
+    predict split into dynamics vs noise draw; resample split into
+    cumsum+indices vs gather."""
+    import jax
+    from gpu_se_tpu.filters.resampling import systematic_resample_indices
+
+    x_ss, x0, state_pdf, meas_pdf = rig_dists()
+    f = bio.Bioreactor.homeostatic_DEs
+    u = jnp.array([0.06, 0.2])
+    dev = get_device(gpu)
+    state, ops = build("pf", n, gpu)
+
+    with jax.default_device(dev):
+        dyn = jax.jit(
+            lambda s: s.replace(
+                particles=s.particles
+                + jax.vmap(f, in_axes=(0, None, None))(s.particles, u, jnp.float32(0.1))
+            ),
+            device=dev,
+        )
+
+        def noise_only(s):
+            key, sub = jax.random.split(s.key)
+            return s.replace(particles=s.particles + state_pdf.draw(sub, (n,)), key=key)
+
+        noi = jax.jit(noise_only, device=dev)
+
+        def indices_only(s):
+            key, sub = jax.random.split(s.key)
+            r = jax.random.uniform(sub, ())
+            idx = systematic_resample_indices(s.weights + 1e-12, r)
+            # fold indices back into weights (scaled tiny, NOT *0 which
+            # XLA would dead-code-eliminate) so calls chain un-cached
+            return s.replace(
+                weights=s.weights + idx.astype(s.weights.dtype) * 1e-30 + 1e-12,
+                key=key,
+            )
+
+        idxf = jax.jit(indices_only, device=dev)
+
+        def gather_only(s):
+            key, sub = jax.random.split(s.key)
+            shift = jax.random.randint(sub, (), 0, n)
+            idx = (jnp.arange(n, dtype=jnp.int32) + shift) % n
+            return s.replace(particles=jnp.take(s.particles, idx, axis=0), key=key)
+
+        gat = jax.jit(gather_only, device=dev)
+
+    return {
+        "dynamics": time_op(dyn, state, runs),
+        "noise": time_op(noi, state, runs),
+        "indices": time_op(idxf, state, runs),
+        "gather": time_op(gat, state, runs),
+        "full_step": time_op(ops["step"], state, runs),
+    }

@@ -107,3 +107,26 @@ def plot(runs=50):
 
 if __name__ == "__main__":
     plot()
+
+
+def plot_breakdown(n=2**18, runs=30):
+    """Stacked per-stage time attribution (reference pf_run_seq.py:517-554)."""
+    import matplotlib.pyplot as plt
+
+    from results._filter_bench import breakdown_pf
+
+    rows = {}
+    for gpu, label in ((True, "TPU"), (False, "CPU")):
+        rows[label] = {k: float(np.median(v)) for k, v in breakdown_pf(n, runs, gpu).items()}
+        print(label, rows[label])
+    stages = ["dynamics", "noise", "indices", "gather"]
+    fig, ax = plt.subplots(figsize=(6.25, 5))
+    for i, label in enumerate(rows):
+        bottom = 0.0
+        for st in stages:
+            ax.bar(i, rows[label][st], bottom=bottom, label=st if i == 0 else None)
+            bottom += rows[label][st]
+    ax.set_xticks(range(len(rows)), list(rows))
+    ax.set_ylabel("median time per stage (s)")
+    ax.legend()
+    return save_fig("pf_breakdown.png")
