@@ -87,3 +87,27 @@ def test_acf_matches_numpy_corrcoef():
     a = acf(x, 3)
     assert a[0] == 1.0
     assert a[1] > 0.9  # random walk is highly autocorrelated
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from gpu_se_tpu.filters import particle as pf_core
+    from gpu_se_tpu.distributions import GaussianSum
+    from gpu_se_tpu.utils.checkpoint import StateCheckpointer
+
+    x0 = GaussianSum.create(np.zeros((1, 3)), np.eye(3)[None], np.array([1.0]))
+    state = pf_core.init(jax.random.PRNGKey(0), 32, x0)
+
+    ckpt = StateCheckpointer(str(tmp_path / "ckpt"))
+    ckpt.save(5, state)
+    assert ckpt.latest_step() == 5
+    restored = ckpt.restore(state)
+    np.testing.assert_array_equal(
+        np.asarray(restored.particles), np.asarray(state.particles)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(restored.weights), np.asarray(state.weights)
+    )
+    ckpt.close()
