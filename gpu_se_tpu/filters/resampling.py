@@ -73,5 +73,10 @@ def systematic_resample(pytree, weights: jax.Array, key: jax.Array):
     n = weights.shape[0]
     r = jax.random.uniform(key, ())
     idx = systematic_resample_indices(weights, r)
+    # Force the index vector to materialize before the gather: without the
+    # barrier XLA fuses the scatter/scan index computation into the gather
+    # and produces a catastrophic loop fusion (~13 ms instead of ~0.05 ms
+    # for the whole resample at 2^20 on v5e).
+    idx = jax.lax.optimization_barrier(idx)
     gathered = jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=0), pytree)
     return gathered, jnp.full((n,), 1.0 / n, dtype=weights.dtype)

@@ -111,6 +111,9 @@ def _distributed_systematic_resample(particles, weights, r, axis: str):
     )
 
     pool = jax.lax.all_gather(particles, axis).reshape(n_global, particles.shape[-1])
+    # barrier: keep XLA from fusing the index computation into the gather
+    # (see gpu_se_tpu/filters/resampling.py)
+    ancestors = jax.lax.optimization_barrier(ancestors)
     new_particles = jnp.take(pool, ancestors, axis=0)
     new_weights = jnp.full((n_local,), 1.0 / n_global, dtype=weights.dtype)
     return new_particles, new_weights
