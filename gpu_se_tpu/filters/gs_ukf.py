@@ -212,6 +212,7 @@ class GaussianSumUnscentedKalmanFilter:
         measurement_pdf,
         seed: int = 0,
         device=None,
+        stabilized: bool = False,
     ):
         from gpu_se_tpu.filters.particle import _as_dist
 
@@ -219,6 +220,7 @@ class GaussianSumUnscentedKalmanFilter:
         self.N_particles = int(N_particles)
         self.state_pdf = _as_dist(state_pdf)
         self.measurement_pdf = _as_dist(measurement_pdf)
+        self._stabilized = stabilized
         x0 = _as_dist(x0)
 
         key = jax.random.PRNGKey(seed)
@@ -226,10 +228,17 @@ class GaussianSumUnscentedKalmanFilter:
         if device is not None:
             self.state = jax.device_put(self.state, device)
 
+        upd = update_stabilized if stabilized else update
         self._predict = jax.jit(partial(predict, f=self.f))
-        self._update = jax.jit(partial(update, g=self.g))
+        self._update = jax.jit(partial(upd, g=self.g))
         self._resample = jax.jit(resample)
-        self._step = jax.jit(partial(step, f=self.f, g=self.g))
+
+        def _full_step(state, u, z, dt, state_pdf, measurement_pdf):
+            state = predict(state, u, dt, self.f, state_pdf)
+            state = upd(state, u, z, self.g, measurement_pdf)
+            return resample(state)
+
+        self._step = jax.jit(_full_step)
         self._point_estimate = jax.jit(point_estimate)
         self._point_covariance = jax.jit(point_covariance)
 

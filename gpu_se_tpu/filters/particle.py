@@ -152,6 +152,7 @@ class ParticleFilter:
         measurement_pdf,
         seed: int = 0,
         device=None,
+        stabilized: bool = False,
     ):
         self.f, self.g = f, g
         self.N_particles = int(N_particles)
@@ -164,10 +165,17 @@ class ParticleFilter:
         if device is not None:
             self.state = jax.device_put(self.state, device)
 
+        upd = update_stabilized if stabilized else update
         self._predict = jax.jit(partial(predict, f=self.f))
-        self._update = jax.jit(partial(update, g=self.g))
+        self._update = jax.jit(partial(upd, g=self.g))
         self._resample = jax.jit(resample)
-        self._step = jax.jit(partial(step, f=self.f, g=self.g))
+
+        def _full_step(state, u, z, dt, state_pdf, measurement_pdf):
+            state = predict(state, u, dt, self.f, state_pdf)
+            state = upd(state, u, z, self.g, measurement_pdf)
+            return resample(state)
+
+        self._step = jax.jit(_full_step)
         self._point_estimate = jax.jit(point_estimate)
         self._point_covariance = jax.jit(point_covariance)
 

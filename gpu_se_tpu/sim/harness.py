@@ -135,7 +135,7 @@ class Simulation:
 
     def __init__(self, N_particles, dt_control, dt_predict, end_time=50, pf=True,
                  seed=0):
-        self.ts = np.linspace(0, end_time, end_time * 10)
+        self.ts = np.linspace(0, end_time, int(end_time * 10))
         self.dt = self.ts[1]
         self.dt_control = dt_control
         self.dt_predict = dt_predict

@@ -61,3 +61,29 @@ def test_scan_loop_deterministic_by_key():
     np.testing.assert_array_equal(np.asarray(a.us), np.asarray(b.us))
     c = run(est.state, x0, jax.random.PRNGKey(4))
     assert not np.array_equal(np.asarray(a.ys_meas), np.asarray(c.ys_meas))
+
+
+def test_scan_loop_consistent_with_stepwise_harness():
+    """The fused scan loop and the host-loop Simulation implement the same
+    closed loop; over a short horizon with the same rig their trajectories
+    must land in the same neighborhood (different RNG streams, so this is
+    a behavioral-consistency check, not bitwise parity)."""
+    end_time, dtc = 10, 1.0
+    s = sim.Simulation(N_particles=256, dt_control=dtc, dt_predict=0.1,
+                       end_time=end_time, pf=True, seed=0)
+    s.simulate()
+
+    bioreactor, lin_model, K, est = sim.get_parts(dt_control=dtc, N_particles=256)
+    state_pdf, measurement_pdf = sim.get_noise()
+    run, ts = make_scan_loop(K, lin_model, state_pdf.dist, measurement_pdf.dist,
+                             end_time=end_time, dt_control=dtc, dt_predict=0.1)
+    rec = run(est.state, np.asarray(bioreactor.X), jax.random.PRNGKey(0))
+
+    xs_scan = np.asarray(rec.xs)
+    # same plant regime: glucose/fumarate states in the same range
+    for idx in (0, 2):
+        a = s.xs[-1, idx]
+        b = xs_scan[-1, idx]
+        assert abs(a - b) / (abs(a) + 1e-6) < 0.5, (idx, a, b)
+    # both loops keep the controller engaged
+    assert np.abs(np.asarray(rec.us) - np.array([0.06, 0.2])).max() > 1e-4
