@@ -145,9 +145,20 @@ class Simulation:
         )
 
         self.state_pdf, self.measurement_pdf = get_noise()
-        # independent plant-noise streams
-        self.state_pdf._key = __import__("jax").random.PRNGKey(seed + 101)
-        self.measurement_pdf._key = __import__("jax").random.PRNGKey(seed + 202)
+        # independent plant-noise streams, pre-drawn for the whole horizon
+        # in two batched device calls (the reference draws eagerly every
+        # step — ~1000 device round trips per run, /root/reference/sim_base.py:281-284)
+        import jax
+
+        n_steps = len(self.ts)
+        self._state_noise = np.asarray(
+            self.state_pdf.dist.draw(jax.random.PRNGKey(seed + 101), (n_steps,)),
+            dtype=float,
+        )
+        self._meas_noise = np.asarray(
+            self.measurement_pdf.dist.draw(jax.random.PRNGKey(seed + 202), (n_steps,)),
+            dtype=float,
+        )
 
         self.us = [np.array([0.06, 0.2])]
         self.xs = [self.bioreactor.X.copy()]
@@ -209,15 +220,12 @@ class Simulation:
                 self.us.append(self.us[-1])
 
             self.bioreactor.step(self.dt, self.us[-1])
-            self.bioreactor.X = self.bioreactor.X + np.asarray(
-                self.state_pdf.draw(), dtype=float
-            ).squeeze()
+            step_i = len(self.xs)
+            self.bioreactor.X = self.bioreactor.X + self._state_noise[step_i]
             outputs = self.bioreactor.outputs(self.us[-1])
             self.ys.append(outputs.copy())
             outputs = outputs.copy()
-            outputs[self.lin_model.outputs] += np.asarray(
-                self.measurement_pdf.draw(), dtype=float
-            ).squeeze()
+            outputs[self.lin_model.outputs] += self._meas_noise[step_i]
             self.ys_meas.append(outputs)
             self.xs.append(self.bioreactor.X.copy())
             self.ys_f.append(
