@@ -59,14 +59,20 @@ def make_scan_loop(
     dt_control: float = 1.0,
     dt_predict: float = 0.1,
     fallback_u=np.array([0.06, 0.2]),
+    filter_core=None,
 ):
-    """Build ``run(pf_state, x_plant, key) -> LoopRecord`` for the
+    """Build ``run(filter_state, x_plant, key) -> LoopRecord`` for the
     canonical rig, fused into a single jit.
 
     ``mpc`` is a :class:`gpu_se_tpu.control.mpc.MPC`; its device-step
-    constants are captured as jit arguments.
+    constants are captured as jit arguments. ``filter_core`` selects the
+    estimator module (``gpu_se_tpu.filters.particle`` by default, or
+    ``gpu_se_tpu.filters.gs_ukf`` — both expose the same functional
+    predict/update/resample/point_estimate surface).
     """
     from gpu_se_tpu.control import mpc as mpc_mod
+
+    core = filter_core if filter_core is not None else pf_core
 
     ts = np.linspace(0, end_time, int(end_time * 10))
     dt = float(ts[1])
@@ -87,7 +93,7 @@ def make_scan_loop(
     y_bar = jnp.asarray(lin_model.y_bar, jnp.float32)
     fallback = jnp.asarray(fallback_u, jnp.float32)
 
-    def run(pf_state: pf_core.PFState, x_plant, key):
+    def run(pf_state, x_plant, key):
         x_plant = jnp.asarray(x_plant, jnp.float32)
 
         def body(carry, inp):
@@ -97,7 +103,7 @@ def make_scan_loop(
             # --- filter predict (every dt_predict) ---
             pf_state = jax.lax.cond(
                 do_predict,
-                lambda s: pf_core.predict(s, u, jnp.float32(dt), f, state_pdf),
+                lambda s: core.predict(s, u, jnp.float32(dt), f, state_pdf),
                 lambda s: s,
                 pf_state,
             )
@@ -110,9 +116,9 @@ def make_scan_loop(
             # --- control event: update + resample + MPC ---
             def do_ctrl(args):
                 pf_state, u, y_pred, have_pred, warm_v, warm_y = args
-                pf_state = pf_core.update(pf_state, u, z, g, measurement_pdf)
-                pf_state = pf_core.resample(pf_state)
-                x_hat = pf_core.point_estimate(pf_state)
+                pf_state = core.update(pf_state, u, z, g, measurement_pdf)
+                pf_state = core.resample(pf_state)
+                x_hat = core.point_estimate(pf_state)
                 x0_dev = x_hat[state_sel] - x_bar
                 um1_dev = u[in_idx] - u_bar
                 bias = jnp.where(have_pred, (z - y_bar) - y_pred, jnp.zeros_like(y_pred))
@@ -145,7 +151,7 @@ def make_scan_loop(
                 us=u,
                 xs=x,
                 ys_meas=z,
-                xs_f=pf_core.point_estimate(pf_state),
+                xs_f=core.point_estimate(pf_state),
                 status=status,
             )
             return (pf_state, x, u, y_pred, have_pred, warm_v, warm_y, key), record

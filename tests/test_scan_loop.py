@@ -87,3 +87,18 @@ def test_scan_loop_consistent_with_stepwise_harness():
         assert abs(a - b) / (abs(a) + 1e-6) < 0.5, (idx, a, b)
     # both loops keep the controller engaged
     assert np.abs(np.asarray(rec.us) - np.array([0.06, 0.2])).max() > 1e-4
+
+
+def test_scan_loop_with_gsukf():
+    from gpu_se_tpu.filters import gs_ukf
+
+    bioreactor, lin_model, K, est = sim.get_parts(dt_control=1, N_particles=16, pf=False)
+    state_pdf, measurement_pdf = sim.get_noise()
+    run, ts = make_scan_loop(
+        K, lin_model, state_pdf.dist, measurement_pdf.dist,
+        end_time=8, dt_control=1.0, dt_predict=0.5, filter_core=gs_ukf,
+    )
+    rec = run(est.state, np.asarray(bioreactor.X), jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(rec.xs_f)).all()
+    assert np.isfinite(np.asarray(rec.us)).all()
+    assert np.mean(np.asarray(rec.status) == 1) > 0.9
