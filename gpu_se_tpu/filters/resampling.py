@@ -62,6 +62,33 @@ def systematic_resample_indices(weights: jax.Array, r: jax.Array) -> jax.Array:
     return jax.lax.associative_scan(jnp.maximum, seed)
 
 
+def sorted_row_gather(a: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather rows ``a[idx]`` for monotone non-decreasing in-bounds ``idx``.
+
+    Systematic-resampling ancestors are sorted by construction, and
+    telling XLA so changes the TPU lowering from the serialized dynamic
+    gather (~22 ms for (2^20, 5) float32 rows on v5e) to a windowed one
+    (~0.27 ms, measured via scripts/bench_gather.py) — the single largest
+    cost in the reference's whole filter step
+    (/root/reference/filter/particle.py:315-316).
+    """
+    shape = a.shape
+    flat = a.reshape(shape[0], -1)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
+    )
+    out = jax.lax.gather(
+        flat,
+        idx[:, None],
+        dn,
+        slice_sizes=(1, flat.shape[1]),
+        indices_are_sorted=True,
+        unique_indices=False,
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
+    return out.reshape((idx.shape[0],) + shape[1:])
+
+
 def systematic_resample(pytree, weights: jax.Array, key: jax.Array):
     """Resample any pytree of (N, ...) arrays along axis 0.
 
@@ -75,8 +102,7 @@ def systematic_resample(pytree, weights: jax.Array, key: jax.Array):
     idx = systematic_resample_indices(weights, r)
     # Force the index vector to materialize before the gather: without the
     # barrier XLA fuses the scatter/scan index computation into the gather
-    # and produces a catastrophic loop fusion (~13 ms instead of ~0.05 ms
-    # for the whole resample at 2^20 on v5e).
+    # and produces a catastrophic loop fusion at 2^20 on v5e.
     idx = jax.lax.optimization_barrier(idx)
-    gathered = jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=0), pytree)
+    gathered = jax.tree_util.tree_map(lambda a: sorted_row_gather(a, idx), pytree)
     return gathered, jnp.full((n,), 1.0 / n, dtype=weights.dtype)

@@ -31,6 +31,7 @@ from jax import shard_map
 
 from gpu_se_tpu.distributions.gaussian_sum import GaussianSum
 from gpu_se_tpu.filters.particle import PFState
+from gpu_se_tpu.filters.resampling import sorted_row_gather
 from gpu_se_tpu.parallel.mesh import PARTICLE_AXIS
 
 
@@ -112,9 +113,11 @@ def _distributed_systematic_resample(particles, weights, r, axis: str):
 
     pool = jax.lax.all_gather(particles, axis).reshape(n_global, particles.shape[-1])
     # barrier: keep XLA from fusing the index computation into the gather
-    # (see gpu_se_tpu/filters/resampling.py)
+    # (see gpu_se_tpu/filters/resampling.py); each shard's ancestor slice
+    # is itself monotone non-decreasing, so the sorted-gather lowering
+    # applies shard-locally too
     ancestors = jax.lax.optimization_barrier(ancestors)
-    new_particles = jnp.take(pool, ancestors, axis=0)
+    new_particles = sorted_row_gather(pool, ancestors)
     new_weights = jnp.full((n_local,), 1.0 / n_global, dtype=weights.dtype)
     return new_particles, new_weights
 

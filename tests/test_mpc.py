@@ -304,8 +304,11 @@ def test_tank_closed_loop():
     biass = np.array(biass)
     # settles to the setpoint (cf. test_nonlinear_tank_SS, abs=1e-3)
     np.testing.assert_allclose(ys[5000:].ravel(), np.full(len(ys) - 5000, r[0]), atol=1e-3)
-    # bias settles to a constant (cf. test_nonlinear_tank_bias)
-    late_bias = biass[100:]
+    # bias settles to a constant (cf. test_nonlinear_tank_bias); there is
+    # one bias sample per control step (~80 total), so window on the
+    # second half — biass[100:] would be empty and the assert vacuous
+    late_bias = biass[len(biass) // 2:]
+    assert late_bias.size > 0
     np.testing.assert_allclose(late_bias - late_bias.mean(), 0.0, atol=1e-6)
 
 
