@@ -91,26 +91,69 @@ def init(
     return GSUKFState(means=means, covariances=covs, weights=weights, key=key)
 
 
-def predict(
-    state: GSUKFState, u: jax.Array, dt, f: Callable, state_pdf: GaussianSum
-) -> GSUKFState:
-    """Unscented prediction with noise added to the sigma points before
-    recombination (deliberate covariance inflation, cf.
-    /root/reference/filter/gs_ukf.py:82-103)."""
-    n, nx = state.means.shape
-    w_sigma = sigma_weights(nx, state.means.dtype)
-    key, sub = jax.random.split(state.key)
-
-    sigmas = get_sigma_points(state)
+def predict_core(means, covariances, u, dt, noise, f: Callable):
+    """Deterministic unscented prediction given pre-drawn sigma-point noise
+    ``noise (N, 2*Nx+1, Nx)``. Shared by the single-device step and the
+    explicit shard_map path (noise drawn outside with partitionable keys).
+    Noise is added to the sigma points before recombination (deliberate
+    covariance inflation, cf. /root/reference/filter/gs_ukf.py:82-103)."""
+    nx = means.shape[1]
+    w_sigma = sigma_weights(nx, means.dtype)
+    sigmas = get_sigma_points(GSUKFState(
+        means=means, covariances=covariances,
+        weights=jnp.zeros(means.shape[0], means.dtype), key=None,
+    ))
     deltas = jax.vmap(jax.vmap(f, in_axes=(0, None, None)), in_axes=(0, None, None))(
         sigmas, u, dt
     )
-    sigmas = sigmas + deltas + state_pdf.draw(sub, (n, sigmas.shape[1]))
-
-    means = jnp.einsum("s,nsx->nx", w_sigma, sigmas)
-    centered = sigmas - means[:, None, :]
+    sigmas = sigmas + deltas + noise
+    new_means = jnp.einsum("s,nsx->nx", w_sigma, sigmas)
+    centered = sigmas - new_means[:, None, :]
     covs = jnp.einsum("nsx,s,nsy->nxy", centered, w_sigma, centered)
+    return new_means, covs
+
+
+def predict(
+    state: GSUKFState, u: jax.Array, dt, f: Callable, state_pdf: GaussianSum
+) -> GSUKFState:
+    """Unscented prediction (cf. /root/reference/filter/gs_ukf.py:82-103)."""
+    n, nx = state.means.shape
+    key, sub = jax.random.split(state.key)
+    noise = state_pdf.draw(sub, (n, 2 * nx + 1))
+    means, covs = predict_core(state.means, state.covariances, u, dt, noise, f)
     return GSUKFState(means=means, covariances=covs, weights=state.weights, key=key)
+
+
+def update_core(means, covariances, weights, u, z, g: Callable,
+                measurement_pdf: GaussianSum):
+    """Per-Gaussian local UKF measurement update + global weight update
+    (cf. /root/reference/filter/gs_ukf.py:105-149). Pure over arrays so
+    the shard_map path can reuse it shard-locally."""
+    nx = means.shape[1]
+    w_sigma = sigma_weights(nx, means.dtype)
+
+    sigmas = get_sigma_points(GSUKFState(
+        means=means, covariances=covariances, weights=weights, key=None,
+    ))
+    etas = jax.vmap(jax.vmap(g, in_axes=(0, None)), in_axes=(0, None))(sigmas, u)
+
+    eta_means = jnp.einsum("s,nsy->ny", w_sigma, etas)
+    sig_c = sigmas - means[:, None, :]
+    eta_c = etas - eta_means[:, None, :]
+
+    p_xy = jnp.einsum("nsx,s,nsy->nxy", sig_c, w_sigma, eta_c)
+    p_yy = jnp.einsum("nsx,s,nsy->nxy", eta_c, w_sigma, eta_c)
+    gains = p_xy @ inv_small(p_yy)
+
+    es = z - eta_means
+    new_means = means + jnp.einsum("nxy,ny->nx", gains, es)
+    # "Dimensions from paper do not work, use corrected version"
+    # (/root/reference/filter/gs_ukf.py:139)
+    covs = covariances - gains @ p_yy @ jnp.swapaxes(gains, -1, -2)
+
+    y_means = jax.vmap(g, in_axes=(0, None))(new_means, u)
+    new_weights = weights * measurement_pdf.pdf(z - y_means)
+    return new_means, covs, new_weights
 
 
 def update(
@@ -122,28 +165,9 @@ def update(
 ) -> GSUKFState:
     """Per-Gaussian local UKF measurement update + global weight update
     (cf. /root/reference/filter/gs_ukf.py:105-149)."""
-    nx = state.n_dim
-    w_sigma = sigma_weights(nx, state.means.dtype)
-
-    sigmas = get_sigma_points(state)
-    etas = jax.vmap(jax.vmap(g, in_axes=(0, None)), in_axes=(0, None))(sigmas, u)
-
-    eta_means = jnp.einsum("s,nsy->ny", w_sigma, etas)
-    sig_c = sigmas - state.means[:, None, :]
-    eta_c = etas - eta_means[:, None, :]
-
-    p_xy = jnp.einsum("nsx,s,nsy->nxy", sig_c, w_sigma, eta_c)
-    p_yy = jnp.einsum("nsx,s,nsy->nxy", eta_c, w_sigma, eta_c)
-    gains = p_xy @ inv_small(p_yy)
-
-    es = z - eta_means
-    means = state.means + jnp.einsum("nxy,ny->nx", gains, es)
-    # "Dimensions from paper do not work, use corrected version"
-    # (/root/reference/filter/gs_ukf.py:139)
-    covs = state.covariances - gains @ p_yy @ jnp.swapaxes(gains, -1, -2)
-
-    y_means = jax.vmap(g, in_axes=(0, None))(means, u)
-    weights = state.weights * measurement_pdf.pdf(z - y_means)
+    means, covs, weights = update_core(
+        state.means, state.covariances, state.weights, u, z, g, measurement_pdf
+    )
     return GSUKFState(means=means, covariances=covs, weights=weights, key=state.key)
 
 

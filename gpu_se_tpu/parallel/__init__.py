@@ -6,12 +6,13 @@ from gpu_se_tpu.parallel.mesh import (
 )
 from gpu_se_tpu.parallel.distributed import global_mesh, initialize_distributed
 from gpu_se_tpu.parallel.scenario import (
-    make_averaged_scenario_step,
+    make_consensus_scenario_step,
     make_scenario_solver,
 )
 from gpu_se_tpu.parallel.sharded import (
     make_auto_sharded_gsukf_step,
     make_auto_sharded_step,
+    make_shard_map_gsukf_step,
     make_shard_map_step,
     shard_gsukf_state,
     shard_pf_state,
@@ -24,11 +25,12 @@ __all__ = [
     "replicated",
     "make_auto_sharded_step",
     "make_shard_map_step",
+    "make_shard_map_gsukf_step",
     "shard_pf_state",
     "shard_gsukf_state",
     "make_auto_sharded_gsukf_step",
     "make_scenario_solver",
-    "make_averaged_scenario_step",
+    "make_consensus_scenario_step",
     "initialize_distributed",
     "global_mesh",
 ]

@@ -84,13 +84,15 @@ def _local_update(particles, weights, u, z, g, measurement_pdf):
     return weights * measurement_pdf.pdf(z - ys)
 
 
-def _distributed_systematic_resample(particles, weights, r, axis: str):
-    """Systematic resample across shards.
+def _distributed_systematic_resample(pytree, weights, r, axis: str):
+    """Systematic resample across shards of any pytree of (n_local, ...)
+    arrays (particles for the PF; (means, covariances) for the GSUKF —
+    the analogue of /root/reference/filter/gs_ukf.py:409-436).
 
     Global normalized cumsum = local inclusive scan + exclusive offset of
     shard totals (psum-style all-gather over ICI); each shard searches the
     global cumsum for its own output slots and gathers ancestors from an
-    all-gathered particle pool.
+    all-gathered pool.
     """
     n_local = weights.shape[0]
     idx = jax.lax.axis_index(axis)
@@ -111,15 +113,19 @@ def _distributed_systematic_resample(particles, weights, r, axis: str):
         n_global - 1,
     )
 
-    pool = jax.lax.all_gather(particles, axis).reshape(n_global, particles.shape[-1])
     # barrier: keep XLA from fusing the index computation into the gather
     # (see gpu_se_tpu/filters/resampling.py); each shard's ancestor slice
     # is itself monotone non-decreasing, so the sorted-gather lowering
     # applies shard-locally too
     ancestors = jax.lax.optimization_barrier(ancestors)
-    new_particles = sorted_row_gather(pool, ancestors)
+
+    def gather_leaf(a):
+        pool = jax.lax.all_gather(a, axis).reshape((n_global,) + a.shape[1:])
+        return sorted_row_gather(pool, ancestors)
+
+    new_tree = jax.tree_util.tree_map(gather_leaf, pytree)
     new_weights = jnp.full((n_local,), 1.0 / n_global, dtype=weights.dtype)
-    return new_particles, new_weights
+    return new_tree, new_weights
 
 
 def make_shard_map_step(mesh: Mesh, f: Callable, g: Callable,
@@ -150,7 +156,10 @@ def make_shard_map_step(mesh: Mesh, f: Callable, g: Callable,
         def sharded(particles, weights, u, z, dt, noise, r):
             particles = _local_predict(particles, u, dt, noise, f)
             weights = _local_update(particles, weights, u, z, g, measurement_pdf)
-            return _distributed_systematic_resample(particles, weights, r, axis)
+            particles, weights = _distributed_systematic_resample(
+                particles, weights, r, axis
+            )
+            return particles, weights
 
         particles, weights = sharded(
             state.particles, state.weights, u, z,
@@ -208,3 +217,60 @@ def make_auto_sharded_gsukf_step(mesh: Mesh, f: Callable, g: Callable):
         return gs_ukf.step(state, u, z, dt, f, g, state_pdf, measurement_pdf)
 
     return step
+
+
+def make_shard_map_gsukf_step(mesh: Mesh, f: Callable, g: Callable,
+                              axis: str = PARTICLE_AXIS):
+    """Explicit shard_map GSUKF step: per-shard sigma-point predict/update
+    (gs_ukf.predict_core/update_core) + distributed systematic resample of
+    the (means, covariances) bank — the hand-scheduled analogue of the
+    reference's GPU resample of both arrays
+    (/root/reference/filter/gs_ukf.py:409-436). Sigma-point noise is drawn
+    outside the shard_map with partitionable keys, so the result matches
+    the single-device step under the identical key schedule."""
+    from gpu_se_tpu.filters import gs_ukf
+    from gpu_se_tpu.filters.gs_ukf import GSUKFState
+
+    def step(state: GSUKFState, u, z, dt, state_pdf: GaussianSum,
+             measurement_pdf: GaussianSum) -> GSUKFState:
+        n, nx = state.means.shape
+        key, k_noise, k_r = jax.random.split(state.key, 3)
+        noise = state_pdf.draw(k_noise, (n, 2 * nx + 1))
+        r = jax.random.uniform(k_r, ())
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(
+                P(axis, None), P(axis, None, None), P(axis),
+                P(), P(), P(), P(axis, None, None), P(),
+            ),
+            out_specs=(P(axis, None), P(axis, None, None), P(axis)),
+            check_vma=False,
+        )
+        def sharded(means, covs, weights, u, z, dt, noise, r):
+            means, covs = gs_ukf.predict_core(means, covs, u, dt, noise, f)
+            means, covs, weights = gs_ukf.update_core(
+                means, covs, weights, u, z, g, measurement_pdf
+            )
+            (means, covs), weights = _distributed_systematic_resample(
+                (means, covs), weights, r, axis
+            )
+            return means, covs, weights
+
+        means, covs, weights = sharded(
+            state.means, state.covariances, state.weights, u, z,
+            jnp.asarray(dt, state.means.dtype), noise, r,
+        )
+        return GSUKFState(means=means, covariances=covs, weights=weights, key=key)
+
+    m_sh = NamedSharding(mesh, P(axis, None))
+    c_sh = NamedSharding(mesh, P(axis, None, None))
+    w_sh = NamedSharding(mesh, P(axis))
+    r_sh = NamedSharding(mesh, P())
+    state_shardings = GSUKFState(means=m_sh, covariances=c_sh, weights=w_sh, key=r_sh)
+    return jax.jit(
+        step,
+        in_shardings=(state_shardings, r_sh, r_sh, None, None, None),
+        out_shardings=state_shardings,
+    )

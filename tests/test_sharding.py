@@ -137,6 +137,66 @@ def test_mesh_sizes_1_2_4_8_agree(rig):
         np.testing.assert_allclose(r_, results[0], rtol=1e-6, atol=1e-7)
 
 
+def test_gsukf_shard_map_matches_key_schedule(rig):
+    """Explicit shard_map GSUKF (per-shard predict/update + distributed
+    resample of the (means, covariances) bank) reproduces the single-device
+    math under the identical key schedule."""
+    from gpu_se_tpu.filters import gs_ukf
+    from gpu_se_tpu.filters.resampling import systematic_resample_indices
+    from gpu_se_tpu.parallel import make_shard_map_gsukf_step, shard_gsukf_state
+
+    n = 64
+    state = gs_ukf.init(jax.random.PRNGKey(0), n, rig["x0"], rig["state_pdf"])
+    mesh8 = make_mesh(8)
+    stepm = make_shard_map_gsukf_step(mesh8, rig["f"], rig["g"])
+    out = stepm(
+        shard_gsukf_state(state, mesh8), rig["u"], rig["z"], jnp.float32(0.1),
+        rig["state_pdf"], rig["meas_pdf"],
+    )
+
+    # replicate the key schedule on one device
+    nx = state.means.shape[1]
+    key, k_noise, k_r = jax.random.split(state.key, 3)
+    noise = rig["state_pdf"].draw(k_noise, (n, 2 * nx + 1))
+    r = jax.random.uniform(k_r, ())
+    means, covs = gs_ukf.predict_core(
+        state.means, state.covariances, rig["u"], jnp.float32(0.1), noise, rig["f"]
+    )
+    means, covs, weights = gs_ukf.update_core(
+        means, covs, state.weights, rig["u"], rig["z"], rig["g"], rig["meas_pdf"]
+    )
+    idx = systematic_resample_indices(weights, r)
+    np.testing.assert_allclose(
+        np.asarray(out.means), np.asarray(jnp.take(means, idx, axis=0)),
+        rtol=2e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.covariances), np.asarray(jnp.take(covs, idx, axis=0)),
+        rtol=1e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(np.asarray(out.weights), 1.0 / n)
+
+
+def test_gsukf_shard_map_mesh_sizes_agree(rig):
+    from gpu_se_tpu.filters import gs_ukf
+    from gpu_se_tpu.parallel import make_shard_map_gsukf_step, shard_gsukf_state
+
+    n = 64
+    state = gs_ukf.init(jax.random.PRNGKey(1), n, rig["x0"], rig["state_pdf"])
+    results = []
+    for nd in (1, 2, 4, 8):
+        mesh = make_mesh(nd)
+        stepm = make_shard_map_gsukf_step(mesh, rig["f"], rig["g"])
+        out = stepm(
+            shard_gsukf_state(state, mesh), rig["u"], rig["z"], jnp.float32(0.1),
+            rig["state_pdf"], rig["meas_pdf"],
+        )
+        results.append((np.asarray(out.means), np.asarray(out.covariances)))
+    for m_, c_ in results[1:]:
+        np.testing.assert_allclose(m_, results[0][0], rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(c_, results[0][1], rtol=1e-4, atol=1e-6)
+
+
 def test_gsukf_auto_sharded_matches_single_device(rig):
     """GSPMD-sharded GSUKF step == single-device step."""
     from gpu_se_tpu.filters import gs_ukf
