@@ -206,18 +206,23 @@ def step(state, u, z, dt, f, g, state_pdf, measurement_pdf) -> GSUKFState:
 
 
 def point_estimate(state: GSUKFState) -> jax.Array:
-    w = state.weights / jnp.sum(state.weights)
-    return w @ state.means
+    """Weighted mean of the bank (blocked reduction — a naive f32 sum
+    ulp-starves at large N; see ops/reduce.py)."""
+    from gpu_se_tpu.ops.reduce import weighted_mean
+
+    return weighted_mean(state.weights, state.means)
 
 
 def point_covariance(state: GSUKFState) -> jax.Array:
     """Max singular value of total covariance: E[cov] + Var[means]
     (cf. /root/reference/filter/gs_ukf.py:176-183)."""
-    w = state.weights / jnp.sum(state.weights)
-    cov_cov = jnp.einsum("n,nxy->xy", w, state.covariances)
-    mean = w @ state.means
+    from gpu_se_tpu.ops.reduce import blocked_outer_sum, blocked_sum, weighted_mean
+
+    w = state.weights / blocked_sum(state.weights)
+    cov_cov = blocked_sum(w[:, None, None] * state.covariances)
+    mean = weighted_mean(state.weights, state.means)
     dist = state.means - mean
-    cov_mean = dist.T @ (dist * w[:, None])
+    cov_mean = blocked_outer_sum(dist, dist * w[:, None])
     s = jnp.linalg.svd(cov_cov + cov_mean, compute_uv=False)
     return s[0]
 

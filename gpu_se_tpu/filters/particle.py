@@ -118,18 +118,25 @@ def point_estimate(state: PFState) -> jax.Array:
     """Weighted mean of the particles, normalized
     (cf. /root/reference/filter/particle.py:105-107 — the reference skips
     normalization because its weights are uniform after resampling; we
-    normalize so the estimate is correct mid-cycle too)."""
-    w = state.weights / jnp.sum(state.weights)
-    return w @ state.particles
+    normalize so the estimate is correct mid-cycle too). Blocked
+    reduction: a naive f32 dot loses ~2.5% at 2^22 particles
+    (ops/reduce.py)."""
+    from gpu_se_tpu.ops.reduce import weighted_mean
+
+    return weighted_mean(state.weights, state.particles)
 
 
 def point_covariance(state: PFState) -> jax.Array:
     """Max singular value of the weighted particle covariance
     (cf. /root/reference/filter/particle.py:109-114)."""
-    w = state.weights / jnp.sum(state.weights)
-    mean = w @ state.particles
+    from gpu_se_tpu.ops.reduce import blocked_sum, weighted_mean
+
+    from gpu_se_tpu.ops.reduce import blocked_outer_sum
+
+    w = state.weights / blocked_sum(state.weights)
+    mean = weighted_mean(state.weights, state.particles)
     dist = state.particles - mean
-    cov = dist.T @ (dist * w[:, None])
+    cov = blocked_outer_sum(dist, dist * w[:, None])
     s = jnp.linalg.svd(cov, compute_uv=False)
     return s[0]
 

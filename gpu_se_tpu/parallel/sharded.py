@@ -89,24 +89,30 @@ def _distributed_systematic_resample(pytree, weights, r, axis: str):
     arrays (particles for the PF; (means, covariances) for the GSUKF —
     the analogue of /root/reference/filter/gs_ukf.py:409-436).
 
-    Global normalized cumsum = local inclusive scan + exclusive offset of
-    shard totals (psum-style all-gather over ICI); each shard searches the
-    global cumsum for its own output slots and gathers ancestors from an
-    all-gathered pool.
+    The global cumsum is computed over the all-gathered weight vector,
+    REPLICATED on every shard — same bytes over ICI as gathering a local
+    cumsum, but the scan input (and hence every f32 rounding) is identical
+    for every mesh width and for the single-device path. The earlier
+    local-scan + f32-offset formulation grouped the summation differently
+    per width, which at 2^22 degenerate weights shifted resample
+    boundaries enough to move the point estimate by ~3% between widths
+    (pinned in tests/test_sharding.py::test_big_n_width_invariance).
     """
     n_local = weights.shape[0]
     idx = jax.lax.axis_index(axis)
-    totals = jax.lax.all_gather(jnp.sum(weights), axis)  # (n_shards,)
-    n_shards = totals.shape[0]
-    offset = jnp.sum(jnp.where(jnp.arange(n_shards) < idx, totals, 0.0))
-    total = jnp.sum(totals)
+    n_shards = jax.lax.axis_size(axis)
 
-    local_cum = jnp.cumsum(weights) + offset
-    cum_global = jax.lax.all_gather(local_cum, axis).reshape(-1) / total
+    w_all = jax.lax.all_gather(weights, axis).reshape(-1)  # (n_global,)
+    cum_global = jnp.cumsum(w_all)
+    cum_global = cum_global / cum_global[-1]
 
     n_global = n_local * n_shards
     slots = idx * n_local + jnp.arange(n_local)
-    u_pos = (slots.astype(weights.dtype) + r) / n_global
+    # u_i = i/n + r/n, NOT (i+r)/n: at i ~ 2^21 the f32 sum (i + r)
+    # quantizes r to the 0.25 ulp of big ints, visibly biasing the strata;
+    # both products stay in [0, 1) where f32 has full 2^-24 resolution
+    inv_n = jnp.asarray(1.0 / n_global, weights.dtype)
+    u_pos = slots.astype(weights.dtype) * inv_n + r * inv_n
     ancestors = jnp.clip(
         jnp.searchsorted(cum_global, u_pos, side="left", method="sort"),
         0,
