@@ -44,12 +44,18 @@ def systematic_resample_indices(weights: jax.Array, r: jax.Array) -> jax.Array:
     cumsum = jnp.cumsum(weights)
     cumsum = cumsum / cumsum[-1]
     # Inverse formulation — O(n) scan instead of a sort-based search
-    # (jnp.searchsorted's sort path costs ~4x this on TPU at 2^20):
-    # particle k parents exactly the output slots i with
+    # (sort-based searchsorted measured 20 ms at 2^20 on v5e, worse than
+    # this path): particle k parents exactly the output slots i with
     # (i + r)/n <= cs_k and (i + r)/n > cs_{k-1}, i.e. slots
     # [ends_{k-1}+1, ends_k] with ends_k = floor(n cs_k - r). Scatter k at
     # its first slot, then an inclusive running max fills the rest.
     ends = jnp.floor(n * cumsum - r).astype(jnp.int32)
+    # TPU's tree-based cumsum is locally non-monotone by an ulp; a dipped
+    # ends entry makes segment boundaries ambiguous (the scatter and the
+    # rank/searchsorted formulations then resolve the inversion
+    # differently). Monotonize so every formulation agrees bitwise; on
+    # CPU the sequential cumsum is already monotone and this is identity.
+    ends = jax.lax.cummax(ends)
     ends = jnp.clip(ends, -1, n - 1)
     starts = jnp.concatenate([jnp.zeros(1, jnp.int32), ends[:-1] + 1])
     valid = starts <= ends

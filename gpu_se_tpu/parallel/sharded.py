@@ -105,6 +105,8 @@ def _distributed_systematic_resample(pytree, weights, r, axis: str):
     w_all = jax.lax.all_gather(weights, axis).reshape(-1)  # (n_global,)
     cum_global = jnp.cumsum(w_all)
     cum_global = cum_global / cum_global[-1]
+    # tree cumsum can dip by an ulp; searchsorted needs sorted input
+    cum_global = jax.lax.cummax(cum_global)
 
     n_global = n_local * n_shards
     slots = idx * n_local + jnp.arange(n_local)

@@ -4,9 +4,13 @@ Re-creation of /root/reference/decorators.py:94-206 with the GPU probe
 replaced by an accelerator-agnostic probe chain: a background process
 samples CPU utilization (psutil) and accelerator power at 5 Hz and the
 readings are trapezoid-integrated into J/run. Accelerator probes are
-tried in order — ``tpu-info``-style sysfs counters, then ``nvidia-smi``
-— and degrade to zero samples when no probe exists (CPU-only numbers
-remain valid).
+tried in order — ``tpu-info``-style sysfs counters, then ``nvidia-smi``.
+
+HONESTY CONTRACT: when no accelerator probe works (the common case on a
+relay-attached TPU, where the chip's power rails are on a remote host),
+the accelerator energy is reported as ``NaN`` — never a silent 0 J that
+downstream plots would present as data. ``accelerator_probe_available()``
+lets callers annotate plots/tables with the missing-probe condition.
 """
 from __future__ import annotations
 
@@ -44,12 +48,18 @@ def _read_nvidia_smi():
 
 
 def get_accelerator_power():
-    """Current accelerator power draw in watts (0.0 if no probe works)."""
+    """Current accelerator power draw in watts, or ``None`` when no probe
+    works (recorded as NaN by the sampler — never a silent 0)."""
     for probe in (_read_sysfs_power, _read_nvidia_smi):
         val = probe()
         if val is not None:
             return val
-    return 0.0
+    return None
+
+
+def accelerator_probe_available() -> bool:
+    """True iff some accelerator power probe returns readings here."""
+    return get_accelerator_power() is not None
 
 
 def get_cpu_frac():
@@ -63,7 +73,8 @@ def _power_seq(q):
     while q.empty():
         times.append(time.time())
         cpu_frac.append(get_cpu_frac())
-        accel_power.append(get_accelerator_power())
+        watts = get_accelerator_power()
+        accel_power.append(np.nan if watts is None else watts)
         time.sleep(0.2)
     q.put(np.array([times, cpu_frac, accel_power]))
 

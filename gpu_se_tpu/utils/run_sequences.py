@@ -14,9 +14,14 @@ class RunSequences:
         self.__name__ = getattr(func, "__name__", "run_seq")
 
     def __call__(self, N_particles, *args, **kwargs):
-        run_seqs = np.array(
-            [self.func(int(n), *args, **kwargs) for n in N_particles]
-        )
+        results = [self.func(int(n), *args, **kwargs) for n in N_particles]
+        try:
+            run_seqs = np.array(results)
+        except ValueError:
+            # inhomogeneous results (e.g. PowerMeasurement's (count,
+            # energy) tuples) — keep them as a list, same reference
+            # contract of "stacked results per N"
+            run_seqs = results
         return np.asarray(N_particles), run_seqs
 
     @staticmethod

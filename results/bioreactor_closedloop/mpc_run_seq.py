@@ -1,7 +1,12 @@
 """MPC latency benchmark: closed-loop K.step timings at dt_control=0.1
-(P=3000, M=2000), with the run-sequence/pacf methodology.
+(P=3000, M=2000), with the run-sequence/pacf methodology, plus
+DEVICE-SIDE latency attribution: ``device_solve_ms`` times a lax.scan of
+warm-started solves in ONE dispatch, separating the QP solve itself from
+the host-prep + relay round-trip that dominates ``K.step`` end-to-end.
 
-Re-creation of /root/reference/results/bioreactor_closedloop/mpc_run_seq.py.
+Re-creation of /root/reference/results/bioreactor_closedloop/mpc_run_seq.py
+(:29,79,111) with the attribution the reference could not need (its OSQP
+ran in-process).
 """
 import time
 
@@ -49,13 +54,69 @@ def mpc_run_seq(n_runs=1000, dt_control=0.1):
     return np.array(times)
 
 
+def device_solve_ms(dt_control=0.1, k1=2, k2=10, reps=3):
+    """Device-side ms/solve via scan slopes: K warm-started QP solves in
+    one dispatch, states perturbed per iteration so the relay cannot
+    serve cached results; slope (T(k2)-T(k1))/(k2-k1) cancels dispatch
+    latency. Returns (ms_per_solve, mean_admm_iterations)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpu_se_tpu.control import mpc as mpc_mod
+
+    bioreactor, lin_model, K, _ = sim.get_parts(dt_control=dt_control)
+    consts, step_fn = mpc_mod.make_device_step(K)
+    n_d = (K.M + 1) * K.Ni
+    m_rows = int(K.qp.m)
+    dt = jnp.float32
+
+    def body(carry, i):
+        x0, um1, bias, wv, wy = carry
+        ctrl, _y, sol = step_fn(consts, x0, um1, bias, wv, wy)
+        # deterministic per-iteration drift so every solve differs
+        x0n = x0 + 0.005 * jnp.tanh(ctrl) + 1e-4 * i
+        return (x0n, ctrl, bias, sol.x, sol.y), sol.iterations
+
+    def make(k):
+        @jax.jit
+        def scank(consts, x0):
+            carry = (
+                x0, jnp.zeros(K.Ni, dt), jnp.zeros(K.No, dt),
+                jnp.zeros(n_d, dt), jnp.zeros(m_rows, dt),
+            )
+            carry, iters = jax.lax.scan(
+                body, carry, jnp.arange(k, dtype=dt)
+            )
+            return carry[0], jnp.mean(iters.astype(dt))
+        return scank
+
+    times, iters = {}, 0.0
+    x0 = jnp.asarray(np.array([0.01, -0.01]), dt)
+    for k in (k1, k2):
+        fn = make(k)
+        out, it = fn(consts, x0)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for j in range(reps):
+            out, it = fn(consts, out + 1e-3 * j)
+            jax.block_until_ready(out)
+        times[k] = (time.perf_counter() - t0) / reps * 1e3
+        iters = float(it)
+    ms = (times[k2] - times[k1]) / (k2 - k1)
+    return ms, iters
+
+
 def plot(n_runs=1000):
     import matplotlib.pyplot as plt
 
     times = mpc_run_seq(n_runs)
     times = times[1:]  # drop the compile call
-    print(f"median MPC solve: {np.median(times) * 1000:.2f} ms")
+    print(f"median MPC solve (end-to-end K.step): {np.median(times) * 1000:.2f} ms")
     print(f"max |pacf|: {max_abs_pacf(times):.3f} (gate: < 0.2)")
+    dev_ms, dev_iters = device_solve_ms()
+    print(f"device-side QP solve: {dev_ms:.2f} ms ({1e3 / dev_ms:.0f} solves/s, "
+          f"mean {dev_iters:.0f} ADMM iterations) — the end-to-end gap is "
+          "host prep + relay round-trip")
     fig, axes = plt.subplots(1, 2, figsize=(12.5, 5))
     axes[0].plot(times * 1000, "k.", markersize=2)
     axes[0].set_xlabel("run"); axes[0].set_ylabel("solve time (ms)")

@@ -45,10 +45,22 @@ def energy_per_run(t_run=5.0, gpu=True, log2s=N_LOG2):
 def plot(t_run=5.0):
     import matplotlib.pyplot as plt
 
+    accel_missing = False
     for gpu, label in ((True, "TPU"), (False, "CPU")):
         rows = energy_per_run(t_run, gpu)
         ns = [r[0] for r in rows]
-        plt.loglog(ns, [r[1] + r[2] for r in rows], ".-", label=label)
+        host = [r[1] for r in rows]
+        accel = [r[2] for r in rows]
+        plt.loglog(ns, host, ".-", label=f"{label} host-CPU energy")
+        if np.isfinite(accel).all():
+            plt.loglog(ns, np.add(host, accel), ".--",
+                       label=f"{label} host+accelerator")
+        elif gpu:
+            accel_missing = True
+    if accel_missing:
+        plt.title("accelerator probe unavailable on this rig: "
+                  "accelerator energy = NaN (host-CPU energy only)",
+                  fontsize=8)
     plt.xlabel("N Gaussians"); plt.ylabel("J / step"); plt.legend()
     return save_fig("gsf_power.png")
 
