@@ -88,13 +88,14 @@ def main():
     state = step(state)
     jax.block_until_ready(state.particles)
 
-    times = []
+    # one timed chained loop with a single final block: per-call blocking
+    # pays the ~25 ms relay sync RTT every call, while the chained queue's
+    # backpressure makes the amortized per-step time track device time
+    t0 = time.perf_counter()
     for _ in range(REPS):
-        t0 = time.perf_counter()
         state = step(state)
-        jax.block_until_ready(state.particles)
-        times.append(time.perf_counter() - t0)
-    steps_per_s = 1.0 / float(np.median(times))
+    jax.block_until_ready(state.particles)
+    steps_per_s = REPS / (time.perf_counter() - t0)
 
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")

@@ -97,6 +97,50 @@ def sorted_row_gather(a: jax.Array, idx: jax.Array) -> jax.Array:
     return out.reshape((idx.shape[0],) + shape[1:])
 
 
+# ----------------------------------------------------------------------
+# Implementation selection: on TPU the fused Pallas merge kernel
+# (ops/resample_pallas.py, B=128/W=256) measures ~5.6 ms at 2^20 vs
+# ~10.4 ms for scatter+cummax indices + row gather (calibrated
+# device-times, see CLAUDE.md). The XLA path remains the reference
+# semantics (and the only path on CPU / for multi-leaf pytrees).
+_IMPL = "auto"  # "auto" | "xla" | "pallas" | "interpret"
+_KERNEL_BLOCK = 128
+_KERNEL_WINDOW = 256
+
+
+class impl:
+    """Context manager forcing a resample implementation (e.g. the CPU
+    legs of benchmarks inside a TPU-default process use impl('xla'))."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __enter__(self):
+        global _IMPL
+        self._prev = _IMPL
+        _IMPL = self.name
+
+    def __exit__(self, *exc):
+        global _IMPL
+        _IMPL = self._prev
+
+
+def _kernel_applicable(pytree, n: int) -> bool:
+    leaves = jax.tree_util.tree_leaves(pytree)
+    if len(leaves) != 1:
+        return False
+    (leaf,) = leaves
+    if leaf.ndim != 2 or leaf.shape[1] > 8:
+        return False
+    if n % max(_KERNEL_BLOCK, 256) != 0 or n < 2 ** 12:
+        return False
+    if _IMPL == "xla":
+        return False
+    if _IMPL in ("pallas", "interpret"):
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def systematic_resample(pytree, weights: jax.Array, key: jax.Array):
     """Resample any pytree of (N, ...) arrays along axis 0.
 
@@ -104,9 +148,29 @@ def systematic_resample(pytree, weights: jax.Array, key: jax.Array):
     particle filter (particles) and the GSUKF (means + covariances),
     mirroring the duplicated kernels at
     /root/reference/filter/particle.py:296-316 and gs_ukf.py:409-436.
+
+    On TPU, single-leaf (N, <=8) pytrees at kernel-friendly sizes go
+    through the fused Pallas merge kernel (search + gather in one pass;
+    ancestors match the XLA formulation up to ulp boundary ties). All
+    other cases use the XLA scatter+cummax + sorted-gather path.
     """
     n = weights.shape[0]
     r = jax.random.uniform(key, ())
+
+    if _kernel_applicable(pytree, n):
+        from gpu_se_tpu.ops.resample_pallas import pallas_systematic_resample
+
+        leaves, treedef = jax.tree_util.tree_flatten(pytree)
+        out, _anc = pallas_systematic_resample(
+            leaves[0], weights, r,
+            block_slots=_KERNEL_BLOCK, window=_KERNEL_WINDOW,
+            interpret=(_IMPL == "interpret"),
+        )
+        gathered = jax.tree_util.tree_unflatten(
+            treedef, [out.astype(leaves[0].dtype)]
+        )
+        return gathered, jnp.full((n,), 1.0 / n, dtype=weights.dtype)
+
     idx = systematic_resample_indices(weights, r)
     # Force the index vector to materialize before the gather: without the
     # barrier XLA fuses the scatter/scan index computation into the gather

@@ -63,6 +63,19 @@ def build(kind: str, n: int, gpu: bool):
     dev = get_device(gpu)
     core = pf_core if kind == "pf" else gs_ukf
 
+    def wrap(fn):
+        """CPU legs inside a TPU-default process must trace the XLA
+        resample (the Pallas kernel only lowers for TPU)."""
+        if gpu:
+            return fn
+        from gpu_se_tpu.filters import resampling
+
+        def f(*a, **k):
+            with resampling.impl("xla"):
+                return fn(*a, **k)
+
+        return f
+
     with jax.default_device(dev):
         if kind == "pf":
             state = pf_core.init(jax.random.PRNGKey(0), n, x0)
@@ -75,9 +88,9 @@ def build(kind: str, n: int, gpu: bool):
                 device=dev,
             ),
             update=jax.jit(lambda s: core.update(s, u, z, g, meas_pdf), device=dev),
-            resample=jax.jit(core.resample, device=dev),
+            resample=jax.jit(wrap(core.resample), device=dev),
             step=jax.jit(
-                lambda s: core.step(s, u, z, jnp.float32(0.1), f, g, state_pdf, meas_pdf),
+                wrap(lambda s: core.step(s, u, z, jnp.float32(0.1), f, g, state_pdf, meas_pdf)),
                 device=dev,
             ),
         )

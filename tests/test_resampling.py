@@ -91,3 +91,43 @@ def test_resample_under_jit():
     a = np.asarray(f(w, jnp.float32(0.25)))
     b = np.asarray(systematic_resample_indices(w, jnp.float32(0.25)))
     np.testing.assert_array_equal(a, b)
+
+
+def test_pallas_kernel_path_matches_xla():
+    """The fused Pallas merge kernel (the TPU default at kernel-friendly
+    sizes) produces the same resampled set as the XLA scatter+cummax path
+    (interpret mode on CPU; ulp boundary ties absent at this seed)."""
+    import jax
+
+    from gpu_se_tpu.filters import resampling
+
+    n = 4096
+    key = jax.random.PRNGKey(5)
+    k1, k2, k3 = jax.random.split(key, 3)
+    parts = jax.random.normal(k1, (n, 5), jnp.float32)
+    w = jnp.exp(-2.0 * jax.random.normal(k2, (n,)) ** 2) + 1e-9
+
+    with resampling.impl("xla"):
+        ref, wref = jax.jit(resampling.systematic_resample)(parts, w, k3)
+    with resampling.impl("interpret"):
+        got, wgot = jax.jit(resampling.systematic_resample)(parts, w, k3)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    np.testing.assert_allclose(np.asarray(wgot), np.asarray(wref))
+
+
+def test_kernel_applicability_guards():
+    from gpu_se_tpu.filters import resampling
+
+    two_leaf = (jnp.zeros((4096, 5)), jnp.zeros((4096, 5, 5)))
+    assert not resampling._kernel_applicable(two_leaf, 4096)
+    wide = jnp.zeros((4096, 25))
+    assert not resampling._kernel_applicable(wide, 4096)
+    odd = jnp.zeros((4100, 5))
+    assert not resampling._kernel_applicable(odd, 4100)
+    small = jnp.zeros((512, 5))
+    assert not resampling._kernel_applicable(small, 512)
+    ok = jnp.zeros((4096, 5))
+    with resampling.impl("pallas"):
+        assert resampling._kernel_applicable(ok, 4096)
+    with resampling.impl("xla"):
+        assert not resampling._kernel_applicable(ok, 4096)
