@@ -127,10 +127,12 @@ class impl:
 
 def _kernel_applicable(pytree, n: int) -> bool:
     leaves = jax.tree_util.tree_leaves(pytree)
-    if len(leaves) != 1:
+    if not leaves:
         return False
-    (leaf,) = leaves
-    if leaf.ndim != 2 or leaf.shape[1] > 8:
+    # the kernel runs on the first leaf (must be (N, <=8)); remaining
+    # leaves reuse its ancestor vector through the sorted row gather
+    first = leaves[0]
+    if first.ndim != 2 or first.shape[1] > 8:
         return False
     if n % max(_KERNEL_BLOCK, 256) != 0 or n < 2 ** 12:
         return False
@@ -161,13 +163,17 @@ def systematic_resample(pytree, weights: jax.Array, key: jax.Array):
         from gpu_se_tpu.ops.resample_pallas import pallas_systematic_resample
 
         leaves, treedef = jax.tree_util.tree_flatten(pytree)
-        out, _anc = pallas_systematic_resample(
+        out, anc = pallas_systematic_resample(
             leaves[0], weights, r,
             block_slots=_KERNEL_BLOCK, window=_KERNEL_WINDOW,
             interpret=(_IMPL == "interpret"),
         )
+        rest = [
+            sorted_row_gather(leaf, jax.lax.optimization_barrier(anc))
+            for leaf in leaves[1:]
+        ]
         gathered = jax.tree_util.tree_unflatten(
-            treedef, [out.astype(leaves[0].dtype)]
+            treedef, [out.astype(leaves[0].dtype)] + rest
         )
         return gathered, jnp.full((n,), 1.0 / n, dtype=weights.dtype)
 

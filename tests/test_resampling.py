@@ -131,3 +131,25 @@ def test_kernel_applicability_guards():
         assert resampling._kernel_applicable(ok, 4096)
     with resampling.impl("xla"):
         assert not resampling._kernel_applicable(ok, 4096)
+
+
+def test_pallas_kernel_multi_leaf_matches_xla():
+    """GSUKF-style (means, covariances) pytree: the kernel resamples the
+    first leaf and its ancestor vector gathers the rest."""
+    import jax
+
+    from gpu_se_tpu.filters import resampling
+
+    n = 4096
+    key = jax.random.PRNGKey(6)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    means = jax.random.normal(k1, (n, 5), jnp.float32)
+    covs = jax.random.normal(k4, (n, 5, 5), jnp.float32)
+    w = jnp.exp(-2.0 * jax.random.normal(k2, (n,)) ** 2) + 1e-9
+
+    with resampling.impl("xla"):
+        (rm, rc), _ = jax.jit(resampling.systematic_resample)((means, covs), w, k3)
+    with resampling.impl("interpret"):
+        (gm, gc), _ = jax.jit(resampling.systematic_resample)((means, covs), w, k3)
+    np.testing.assert_array_equal(np.asarray(gm), np.asarray(rm))
+    np.testing.assert_array_equal(np.asarray(gc), np.asarray(rc))
