@@ -32,8 +32,8 @@ def blocked_sum(x, block: int = 4096):
 def weighted_mean(weights, x, block: int = 4096):
     """Accumulation-safe sum_i w_i x_i / sum_i w_i over axis 0."""
     total = blocked_sum(weights, block)
-    w = weights / total
-    return blocked_sum(w[:, None] * x if x.ndim == 2 else w * x, block)
+    w = (weights / total).reshape((-1,) + (1,) * (x.ndim - 1))
+    return blocked_sum(w * x, block)
 
 
 def blocked_outer_sum(a, b, block: int = 4096):

@@ -27,7 +27,7 @@ from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from gpu_se_tpu.control import mpc as mpc_mod
-from gpu_se_tpu.control.qp import SOLVED, _admm_solve
+from gpu_se_tpu.control.qp import _admm_solve
 from gpu_se_tpu.parallel.mesh import PARTICLE_AXIS
 
 
@@ -64,17 +64,25 @@ def make_scenario_solver(mpc, mesh=None, axis: str = PARTICLE_AXIS):
 
 
 def _consensus_local(consts, x0s, um1, biases, *, settings, dims, n_outer,
-                     reduce_sum, n_total):
+                     reduce_sum, reduce_min, n_total):
     """Consensus-ADMM body over this shard's scenarios.
 
-    ``reduce_sum`` is ``psum`` inside shard_map, identity when unsharded;
-    ``n_total`` the global scenario count.
+    ``reduce_sum``/``reduce_min`` are ``psum``/``pmin`` inside shard_map,
+    identity when unsharded; ``n_total`` the global scenario count.
     """
     # TPU matmuls default to bf16 passes; the whitened linear terms and the
     # du_0 extraction must be true float32 or the consensus gap floors at
     # ~1e-2 (observed on v5e). Trace-time context, same as qp._admm_solve.
-    prec_ctx = jax.default_matmul_precision("float32")
-    prec_ctx.__enter__()
+    with jax.default_matmul_precision("float32"):
+        return _consensus_local_body(
+            consts, x0s, um1, biases, settings=settings, dims=dims,
+            n_outer=n_outer, reduce_sum=reduce_sum, reduce_min=reduce_min,
+            n_total=n_total,
+        )
+
+
+def _consensus_local_body(consts, x0s, um1, biases, *, settings, dims,
+                          n_outer, reduce_sum, reduce_min, n_total):
     c = consts
     ni, n_d, m = dims["ni"], dims["n_d"], dims["m"]
     s_loc = x0s.shape[0]
@@ -118,7 +126,9 @@ def _consensus_local(consts, x0s, um1, biases, *, settings, dims, n_outer,
         zbar_new = reduce_sum(jnp.sum(d0 + lam, axis=0)) / n_total
         lam_new = lam + d0 - zbar_new[None, :]
         gap = reduce_sum(jnp.max(jnp.abs(d0 - zbar_new[None, :]), axis=1).sum())
-        worst = jnp.min(sols.status)
+        # worst status must be reduced ACROSS shards too — a shard-local
+        # min through replicated out_specs would report shard 0's value
+        worst = reduce_min(jnp.min(sols.status))
         return (zbar_new, lam_new, sols.x, sols.y), (gap, worst)
 
     init = (
@@ -130,33 +140,33 @@ def _consensus_local(consts, x0s, um1, biases, *, settings, dims, n_outer,
     (zbar, _, _, _), (gaps, worsts) = jax.lax.scan(
         outer, init, None, length=n_outer
     )
-    prec_ctx.__exit__(None, None, None)
     return zbar + um1, gaps[-1], worsts[-1]
 
 
-def make_consensus_scenario_step(consts, settings, dims, mesh=None,
+def make_consensus_scenario_step(settings, dims, mesh=None,
                                  axis: str = PARTICLE_AXIS, n_outer: int = 40):
     """Build the consensus scenario-MPC step.
 
     Parameters
     ----------
-    consts, settings, dims : from
+    settings, dims : from
         :func:`gpu_se_tpu.control.scenario_mpc.consensus_consts`.
     mesh : optional 1-D mesh to shard the scenario axis over.
     n_outer : consensus (outer ADMM) iterations.
 
     Returns ``step(consts, x0s, um1, biases) -> (ctrl, gap, worst_status)``
-    — pass the same ``consts`` dict each call (jit argument, never baked
-    into the HLO). ``gap`` is the final consensus residual
-    ``sum_s max|du_0^s - mean|``; ``worst_status`` the minimum inner QP
-    status (SOLVED=1).
+    — the ``consts`` dict from ``consensus_consts`` is a per-call jit
+    argument (never baked into the HLO). ``gap`` is the final consensus
+    residual ``sum_s max|du_0^s - mean|``; ``worst_status`` the minimum
+    inner QP status over ALL scenarios and shards (SOLVED=1).
     """
     if mesh is None:
         def step(consts, x0s, um1, biases):
             n_total = x0s.shape[0]
             return _consensus_local(
                 consts, x0s, um1, biases, settings=settings, dims=dims,
-                n_outer=n_outer, reduce_sum=lambda x: x, n_total=n_total,
+                n_outer=n_outer, reduce_sum=lambda x: x,
+                reduce_min=lambda x: x, n_total=n_total,
             )
         return jax.jit(step)
 
@@ -175,6 +185,7 @@ def make_consensus_scenario_step(consts, settings, dims, mesh=None,
                 consts, x0s, um1, biases, settings=settings, dims=dims,
                 n_outer=n_outer,
                 reduce_sum=lambda x: jax.lax.psum(x, axis),
+                reduce_min=lambda x: jax.lax.pmin(x, axis),
                 n_total=n_total,
             )
 

@@ -66,7 +66,12 @@ def make_auto_sharded_step(mesh: Mesh, f: Callable, g: Callable):
         out_shardings=state_shardings,
     )
     def step(state, u, z, dt, state_pdf, measurement_pdf):
-        return pf_core.step(state, u, z, dt, f, g, state_pdf, measurement_pdf)
+        from gpu_se_tpu.filters import resampling
+
+        # the Pallas resample custom call has no GSPMD partitioning rule;
+        # the auto-sharded path must trace the XLA formulation
+        with resampling.impl("xla"):
+            return pf_core.step(state, u, z, dt, f, g, state_pdf, measurement_pdf)
 
     return step
 
@@ -222,7 +227,10 @@ def make_auto_sharded_gsukf_step(mesh: Mesh, f: Callable, g: Callable):
         out_shardings=state_sh,
     )
     def step(state, u, z, dt, state_pdf, measurement_pdf):
-        return gs_ukf.step(state, u, z, dt, f, g, state_pdf, measurement_pdf)
+        from gpu_se_tpu.filters import resampling
+
+        with resampling.impl("xla"):
+            return gs_ukf.step(state, u, z, dt, f, g, state_pdf, measurement_pdf)
 
     return step
 

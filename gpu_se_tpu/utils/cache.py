@@ -24,14 +24,18 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__f
 class PickleJar(joblib.memory.MemorizedFunc):
     """Disk-memoized function with machine-independent identity."""
 
-    def __init__(self, func, location="", cache_settings=None):
+    def __init__(self, func, location="", cache_settings=None, root=None):
         if cache_settings is None:
             cache_settings = global_cache_settings
         self.cache_settings = cache_settings
 
         joblib.memory._build_func_identifier = lambda f: f.__name__
 
-        location = os.path.join(_REPO_ROOT, "picklejar", location)
+        if root is None:
+            root = os.environ.get(
+                "GPU_SE_PICKLEJAR_ROOT", os.path.join(_REPO_ROOT, "picklejar")
+            )
+        location = os.path.join(root, location)
         super().__init__(func, location)
 
         if self.cache_settings["force_same_code"]:
@@ -39,9 +43,11 @@ class PickleJar(joblib.memory.MemorizedFunc):
             self._write_func_code(func_code, first_line)
 
     @staticmethod
-    def pickle(path):
-        """Decorator factory: ``@PickleJar.pickle('pf/raw')``."""
-        return lambda fun: PickleJar(fun, path)
+    def pickle(path, root=None):
+        """Decorator factory: ``@PickleJar.pickle('pf/raw')``. ``root``
+        pins the cache directory regardless of GPU_SE_PICKLEJAR_ROOT
+        (used by the committed parity cache, which tests must HIT)."""
+        return lambda fun: PickleJar(fun, path, root=root)
 
     def clear_single(self, *args, **kwargs):
         """Drop the memo for one argument tuple."""

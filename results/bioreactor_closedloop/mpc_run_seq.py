@@ -55,10 +55,13 @@ def mpc_run_seq(n_runs=1000, dt_control=0.1):
 
 
 def device_solve_ms(dt_control=0.1, k1=2, k2=10, reps=3):
-    """Device-side ms/solve via scan slopes: K warm-started QP solves in
-    one dispatch, states perturbed per iteration so the relay cannot
-    serve cached results; slope (T(k2)-T(k1))/(k2-k1) cancels dispatch
-    latency. Returns (ms_per_solve, mean_admm_iterations)."""
+    """Device-side ms/solve via calibrated scan slopes — delegates to
+    scripts/mpc_latency_artifact.py's method (in-jit scalar fetched via
+    float() to force completion; plain block_until_ready on remote arrays
+    acknowledges dispatch only, see CLAUDE.md). Returns
+    (ms_per_solve, cold_start_admm_iterations)."""
+    import time
+
     import jax
     import jax.numpy as jnp
 
@@ -68,12 +71,10 @@ def device_solve_ms(dt_control=0.1, k1=2, k2=10, reps=3):
     consts, step_fn = mpc_mod.make_device_step(K)
     n_d = (K.M + 1) * K.Ni
     m_rows = int(K.qp.m)
-    dt = jnp.float32
 
     def body(carry, i):
         x0, um1, bias, wv, wy = carry
         ctrl, _y, sol = step_fn(consts, x0, um1, bias, wv, wy)
-        # deterministic per-iteration drift so every solve differs
         x0n = x0 + 0.005 * jnp.tanh(ctrl) + 1e-4 * i
         return (x0n, ctrl, bias, sol.x, sol.y), sol.iterations
 
@@ -81,29 +82,34 @@ def device_solve_ms(dt_control=0.1, k1=2, k2=10, reps=3):
         @jax.jit
         def scank(consts, x0):
             carry = (
-                x0, jnp.zeros(K.Ni, dt), jnp.zeros(K.No, dt),
-                jnp.zeros(n_d, dt), jnp.zeros(m_rows, dt),
+                x0, jnp.zeros(K.Ni, jnp.float32), jnp.zeros(K.No, jnp.float32),
+                jnp.zeros(n_d, jnp.float32), jnp.zeros(m_rows, jnp.float32),
             )
             carry, iters = jax.lax.scan(
-                body, carry, jnp.arange(k, dtype=dt)
+                body, carry, jnp.arange(k, dtype=jnp.float32)
             )
-            return carry[0], jnp.mean(iters.astype(dt))
+            return jnp.sum(carry[1]) + 0.0 * jnp.mean(iters)
         return scank
 
-    times, iters = {}, 0.0
-    x0 = jnp.asarray(np.array([0.01, -0.01]), dt)
+    seed = int(time.time() * 1000) % (2 ** 31)
+    key = jax.random.PRNGKey(seed)
+    times = {}
     for k in (k1, k2):
         fn = make(k)
-        out, it = fn(consts, x0)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for j in range(reps):
-            out, it = fn(consts, out + 1e-3 * j)
-            jax.block_until_ready(out)
-        times[k] = (time.perf_counter() - t0) / reps * 1e3
-        iters = float(it)
+        ts = []
+        for rep in range(reps + 1):
+            sub = jax.random.fold_in(key, k * 100 + rep)
+            x0 = 0.05 * jax.random.normal(sub, (K.Nx,), jnp.float32)
+            _ = float(jnp.sum(x0))
+            t0 = time.perf_counter()
+            _ = float(fn(consts, x0))  # scalar fetch forces completion
+            ts.append((time.perf_counter() - t0) * 1e3)
+        times[k] = float(np.median(ts[1:]))
     ms = (times[k2] - times[k1]) / (k2 - k1)
-    return ms, iters
+    _, _, sol = step_fn(consts, jnp.asarray([0.01, -0.01], jnp.float32),
+                        jnp.zeros(K.Ni, jnp.float32), jnp.zeros(K.No, jnp.float32),
+                        jnp.zeros(n_d, jnp.float32), jnp.zeros(m_rows, jnp.float32))
+    return ms, float(sol.iterations)
 
 
 def plot(n_runs=1000):

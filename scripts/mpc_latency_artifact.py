@@ -1,13 +1,11 @@
-"""Produce results/artifacts/MPC_LATENCY.json with the calibrated
-methodology (fresh inputs per call + in-jit scalar fetched via float() to
-force completion + null-workload RTT subtraction; see CLAUDE.md timing
-notes). Device per-solve = (T(k2) - T(k1)) / (k2 - k1) across two scan
-lengths, each a single dispatch of warm-started P=3000 QP solves.
+"""Produce results/artifacts/MPC_LATENCY.json: device-side QP solve time
+(calibrated scan slope, scalar-forced completion — the shared
+implementation in results/bioreactor_closedloop/mpc_run_seq.py) vs the
+end-to-end K.step latency through the relay.
 """
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -17,77 +15,29 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from gpu_se_tpu import sim  # noqa: E402
-from gpu_se_tpu.control import mpc as mpc_mod  # noqa: E402
 from gpu_se_tpu.utils import max_abs_pacf  # noqa: E402
 import results.bioreactor_closedloop.mpc_run_seq as mrs  # noqa: E402
 
-K1, K2 = 2, 10
-SEED = int(time.time() * 1000) % (2 ** 31)
-
 
 def main():
-    bioreactor, lin_model, K, _ = sim.get_parts(dt_control=0.1)
-    consts, step_fn = mpc_mod.make_device_step(K)
-    n_d = (K.M + 1) * K.Ni
-    m_rows = int(K.qp.m)
-
-    def body(carry, i):
-        x0, um1, bias, wv, wy = carry
-        ctrl, _y, s = step_fn(consts, x0, um1, bias, wv, wy)
-        x0n = x0 + 0.005 * jnp.tanh(ctrl) + 1e-4 * i
-        return (x0n, ctrl, bias, s.x, s.y), s.iterations
-
-    def make(k):
-        @jax.jit
-        def scank(consts, x0):
-            carry = (
-                x0, jnp.zeros(K.Ni, jnp.float32), jnp.zeros(K.No, jnp.float32),
-                jnp.zeros(n_d, jnp.float32), jnp.zeros(m_rows, jnp.float32),
-            )
-            carry, iters = jax.lax.scan(body, carry, jnp.arange(k, dtype=jnp.float32))
-            return jnp.sum(carry[1]) + jnp.mean(iters)
-        return scank
-
-    key = jax.random.PRNGKey(SEED)
-    times, iters_probe = {}, None
-    for k in (K1, K2):
-        fn = make(k)
-        ts = []
-        for rep in range(4):
-            nonlocal_key = jax.random.fold_in(key, k * 10 + rep)
-            x0 = 0.05 * jax.random.normal(nonlocal_key, (2,), jnp.float32)
-            _ = float(jnp.sum(x0))
-            t0 = time.perf_counter()
-            val = float(fn(consts, x0))  # scalar fetch forces completion
-            ts.append((time.perf_counter() - t0) * 1e3)
-        times[k] = float(np.median(ts[1:]))
-        print(f"k={k}: {times[k]:.1f} ms (runs {[round(t,1) for t in ts]})",
-              flush=True)
-    dev_ms = (times[K2] - times[K1]) / (K2 - K1)
-
-    # mean ADMM iterations from one warm-started solve pair
-    _, _, sol = step_fn(consts, jnp.asarray([0.01, -0.01], jnp.float32),
-                        jnp.zeros(2), jnp.zeros(2),
-                        jnp.zeros(n_d, jnp.float32), jnp.zeros(m_rows, jnp.float32))
-    iters_probe = int(sol.iterations)
-
-    times_e2e = mrs.mpc_run_seq(n_runs=120, dt_control=0.1)[1:]
+    dev_ms, iters = mrs.device_solve_ms(dt_control=0.1, k1=2, k2=10, reps=3)
+    print(f"device: {dev_ms:.2f} ms/solve, cold-start iters {iters:.0f}",
+          flush=True)
+    times = mrs.mpc_run_seq(n_runs=120, dt_control=0.1)[1:]
     art = {
         "P": 3000, "M": 2000, "dt_control": 0.1,
         "device_solve_ms": round(float(dev_ms), 3),
         "device_solves_per_s": round(1e3 / max(float(dev_ms), 1e-6), 1),
-        "cold_start_admm_iterations": iters_probe,
-        "end_to_end_step_ms_median": round(float(np.median(times_e2e) * 1e3), 3),
-        "end_to_end_steps_per_s": round(1e3 / float(np.median(times_e2e) * 1e3), 1),
-        "max_abs_pacf": round(float(max_abs_pacf(times_e2e)), 3),
-        "n_runs": len(times_e2e),
-        "note": "device_solve_ms: scan-slope between K=2 and K=10 solve chains, "
-                "scalar-forced completion, fresh wall-clock-seeded x0 per call; "
-                "the end-to-end gap is host float64 prep + relay round-trip",
+        "cold_start_admm_iterations": int(iters),
+        "end_to_end_step_ms_median": round(float(np.median(times) * 1e3), 3),
+        "end_to_end_steps_per_s": round(1e3 / float(np.median(times) * 1e3), 1),
+        "max_abs_pacf": round(float(max_abs_pacf(times)), 3),
+        "n_runs": len(times),
+        "note": "device_solve_ms: (T(k2)-T(k1))/(k2-k1) over warm-started solve "
+                "scans, scalar-forced completion, wall-clock-seeded x0; the "
+                "end-to-end gap is host float64 prep + relay round-trip",
     }
     os.makedirs("/root/repo/results/artifacts", exist_ok=True)
     with open("/root/repo/results/artifacts/MPC_LATENCY.json", "w") as fh:

@@ -10,6 +10,8 @@ ADMM) — and the input sequences must agree within tight tolerance, with
 the small numeric differences not compounding (the loop is
 bias-corrected, which keeps trajectories locked together).
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -56,7 +58,15 @@ def run_no_noise_loop(K, lin_model, end_time=50, dt_control=1):
 from gpu_se_tpu.utils import PickleJar
 
 
-@PickleJar.pickle("parity")
+@PickleJar.pickle(
+    "parity",
+    # pin the committed cache: GPU_SE_PICKLEJAR_ROOT (set by the
+    # experiment smokes) must not redirect this 13-minute memo
+    root=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "picklejar",
+    ),
+)
 def reference_no_noise_trajectory(dt_control, end_time):
     """Deterministic reference trajectory: the sparse simultaneous-form QP
     (controller.py layout) solved by the independent float64 ADMM, driven

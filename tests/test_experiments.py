@@ -2,9 +2,20 @@
 entry points run end to end (the full thesis figures are produced by
 running the scripts directly)."""
 import importlib
+import os
 
 import numpy as np
 import pytest
+
+# route the cheap-args PickleJar memos to the gitignored test cache so
+# test runs never pollute the committed campaign results (the env var is
+# read at decoration time, i.e. when the results modules are imported
+# lazily inside these tests)
+os.environ.setdefault(
+    "GPU_SE_PICKLEJAR_ROOT",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "picklejar", "test_cache"),
+)
 
 
 SCRIPTS = [
@@ -70,8 +81,7 @@ def test_print_latex_runs(capsys):
 # ----------------------------------------------------------------------
 # Behavioral smokes: one cheap-args execution of each script's compute
 # entry point (VERDICT r1: imports alone don't catch real breakage).
-# Cheap-args memos land in picklejar/ beside the full-campaign results,
-# keyed by their argument tuples.
+# Cheap-args memos land in picklejar/test_cache/ (gitignored).
 # ----------------------------------------------------------------------
 def test_batch_production_growth_simulates():
     mod = importlib.import_module(

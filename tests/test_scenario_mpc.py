@@ -160,7 +160,7 @@ def test_consensus_matches_stacked():
         lin, _P_HOR, _M_HOR, np.eye(2), 0.5 * np.eye(2),
         np.array([0.3, -0.2]), y_bounds=y_bounds,
     )
-    step = make_consensus_scenario_step(consts, settings, dims, n_outer=60)
+    step = make_consensus_scenario_step(settings, dims, n_outer=60)
     ctrl, gap, worst = step(
         consts,
         jnp.asarray(x0s, jnp.float32),
@@ -186,13 +186,12 @@ def test_consensus_sharded_matches_unsharded():
     um1_j = jnp.asarray(um1, jnp.float32)
     b_j = jnp.asarray(biases, jnp.float32)
 
-    plain = make_consensus_scenario_step(consts, settings, dims, n_outer=40)
+    plain = make_consensus_scenario_step(settings, dims, n_outer=40)
     ctrl0, gap0, st0 = plain(consts, x0s_j, um1_j, b_j)
     assert int(st0) == 1
 
     mesh = make_mesh(8)
-    sharded = make_consensus_scenario_step(consts, settings, dims, mesh,
-                                           n_outer=40)
+    sharded = make_consensus_scenario_step(settings, dims, mesh, n_outer=40)
     ctrl1, gap1, st1 = sharded(consts, x0s_j, um1_j, b_j)
     assert int(st1) == 1
     np.testing.assert_allclose(np.asarray(ctrl1), np.asarray(ctrl0), atol=5e-4)
