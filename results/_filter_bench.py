@@ -101,20 +101,28 @@ def _leaf(s):
     return jax.tree_util.tree_leaves(s)[0]
 
 
-def time_op(op, state, runs: int) -> np.ndarray:
-    """Chained wall-clock run sequence (one timing per run).
+def time_op(op, state, runs: int, chunk: int = 5) -> np.ndarray:
+    """Chained wall-clock run sequence.
 
     Chaining state through the op defeats the remote platform's
-    identical-call caching, matching real closed-loop usage.
+    identical-call caching. Calls are timed in chunks of ``chunk`` with
+    one ``block_until_ready`` per chunk: per-call blocking on the remote
+    relay pays a sync round-trip every call (~3x inflation at 2^20,
+    CLAUDE.md), while chunked chains amortize it the way production
+    closed loops do. Each run's recorded time is its chunk mean.
     """
     s = op(state)
     jax.block_until_ready(_leaf(s))
     out = np.empty(runs)
-    for i in range(runs):
+    done = 0
+    while done < runs:
+        c = min(chunk, runs - done)
         t0 = time.perf_counter()
-        s = op(s)
+        for _ in range(c):
+            s = op(s)
         jax.block_until_ready(_leaf(s))
-        out[i] = time.perf_counter() - t0
+        out[done:done + c] = (time.perf_counter() - t0) / c
+        done += c
     return out
 
 

@@ -13,7 +13,7 @@ from gpu_se_tpu.utils import PickleJar, RunSequences, max_abs_pacf
 from results._common import save_fig
 from results._filter_bench import build, run_seq, time_op
 
-CPU_LOG2 = np.arange(0, 13, 1.0)
+CPU_LOG2 = np.arange(0, 15, 1.0)
 ACC_LOG2 = np.arange(0, 19, 1.0)
 
 

@@ -13,7 +13,7 @@ from results._filter_bench import run_seq
 
 # N ranges per backend (cf. pf_run_seq.py:337-338 in the reference;
 # trimmed CPU tail — the host here is a 2-vCPU container)
-CPU_LOG2 = np.arange(1, 17, 1.0)
+CPU_LOG2 = np.arange(1, 20, 1.0)
 # capped at 2^22: remote AOT compiles of the fused step hang at >= 2^23
 # through the dev relay (toolchain limit, not a framework one; CLAUDE.md)
 ACC_LOG2 = np.arange(1, 23, 1.0)
