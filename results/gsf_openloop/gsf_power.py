@@ -27,10 +27,13 @@ def step_energy(N, t_run, gpu):
     jax.block_until_ready(_leaf(s))
     t_end = time.time() + t_run
     count = 0
+    # pace the dispatches: an unpaced loop enqueues ~75k async steps in
+    # the window (dispatch ~0.04 ms) and then drains for MINUTES after
     while time.time() < t_end:
-        s = op(s)
-        count += 1
-    jax.block_until_ready(_leaf(s))
+        for _ in range(5):
+            s = op(s)
+        count += 5
+        jax.block_until_ready(_leaf(s))
     return count
 
 
