@@ -154,7 +154,11 @@ class GaussianSum:
         # on the MXU and off the slow dynamic-gather path.
         onehot = jax.nn.one_hot(comp, self.n_components, dtype=eps.dtype)
         scaled = jnp.einsum("nj,dij->ndi", eps, self.chol)
-        out = onehot @ self.means + jnp.einsum("nd,ndi->ni", onehot, scaled)
+        # sum-over-components as broadcast-multiply-reduce: the batched
+        # einsum ('nd,ndi->ni', per-sample batch with tiny K) lowers on
+        # TPU as a base-dilated convolution with window=n (catastrophic;
+        # same pathology as the GSUKF einsums, see ops/smallmat.bmm_small)
+        out = onehot @ self.means + jnp.sum(onehot[:, :, None] * scaled, axis=1)
         return out.reshape(shape + (self.n_dim,))
 
     # ------------------------------------------------------------------

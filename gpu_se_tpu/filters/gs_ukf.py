@@ -19,7 +19,13 @@ from flax import struct
 
 from gpu_se_tpu.distributions.gaussian_sum import GaussianSum
 from gpu_se_tpu.filters.resampling import systematic_resample
-from gpu_se_tpu.ops.smallmat import cholesky_small, inv_small
+from gpu_se_tpu.ops.smallmat import (
+    bmm_small,
+    cholesky_small,
+    inv_small,
+    weighted_outer_sum,
+    weighted_sigma_mean,
+)
 
 
 @struct.dataclass
@@ -107,9 +113,9 @@ def predict_core(means, covariances, u, dt, noise, f: Callable):
         sigmas, u, dt
     )
     sigmas = sigmas + deltas + noise
-    new_means = jnp.einsum("s,nsx->nx", w_sigma, sigmas)
+    new_means = weighted_sigma_mean(w_sigma, sigmas)
     centered = sigmas - new_means[:, None, :]
-    covs = jnp.einsum("nsx,s,nsy->nxy", centered, w_sigma, centered)
+    covs = weighted_outer_sum(centered, w_sigma, centered)
     return new_means, covs
 
 
@@ -137,19 +143,21 @@ def update_core(means, covariances, weights, u, z, g: Callable,
     ))
     etas = jax.vmap(jax.vmap(g, in_axes=(0, None)), in_axes=(0, None))(sigmas, u)
 
-    eta_means = jnp.einsum("s,nsy->ny", w_sigma, etas)
+    eta_means = weighted_sigma_mean(w_sigma, etas)
     sig_c = sigmas - means[:, None, :]
     eta_c = etas - eta_means[:, None, :]
 
-    p_xy = jnp.einsum("nsx,s,nsy->nxy", sig_c, w_sigma, eta_c)
-    p_yy = jnp.einsum("nsx,s,nsy->nxy", eta_c, w_sigma, eta_c)
-    gains = p_xy @ inv_small(p_yy)
+    p_xy = weighted_outer_sum(sig_c, w_sigma, eta_c)
+    p_yy = weighted_outer_sum(eta_c, w_sigma, eta_c)
+    gains = bmm_small(p_xy, inv_small(p_yy))
 
     es = z - eta_means
-    new_means = means + jnp.einsum("nxy,ny->nx", gains, es)
+    new_means = means + jnp.sum(gains * es[:, None, :], axis=2)
     # "Dimensions from paper do not work, use corrected version"
     # (/root/reference/filter/gs_ukf.py:139)
-    covs = covariances - gains @ p_yy @ jnp.swapaxes(gains, -1, -2)
+    covs = covariances - bmm_small(
+        bmm_small(gains, p_yy), jnp.swapaxes(gains, -1, -2)
+    )
 
     y_means = jax.vmap(g, in_axes=(0, None))(new_means, u)
     new_weights = weights * measurement_pdf.pdf(z - y_means)

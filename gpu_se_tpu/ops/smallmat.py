@@ -13,6 +13,28 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def bmm_small(a, b):
+    """Batched tiny matmul (n, i, k) @ (n, k, j) -> (n, i, j) as a
+    broadcast-multiply-reduce. XLA lowers batched dots with tiny
+    contraction dims on TPU as base-dilated CONVOLUTIONS with
+    window=batch — catastrophic (the GSUKF step's einsums measured
+    ~23 ms at 2^16 through that path vs ~1 ms through this form)."""
+    return jnp.sum(a[:, :, :, None] * b[:, None, :, :], axis=2)
+
+
+def weighted_outer_sum(a, w, b):
+    """einsum('nsx,s,nsy->nxy', a, w, b) without the conv lowering."""
+    return jnp.sum(
+        a[:, :, :, None] * (w[None, :, None, None] * b[:, :, None, :]),
+        axis=1,
+    )
+
+
+def weighted_sigma_mean(w, sigmas):
+    """einsum('s,nsx->nx', w, sigmas) without the conv lowering."""
+    return jnp.sum(w[None, :, None] * sigmas, axis=1)
+
+
 def cholesky_small(covs: jnp.ndarray) -> jnp.ndarray:
     """Lower Cholesky of a batch of small SPD matrices (..., n, n).
 
