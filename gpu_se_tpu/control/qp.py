@@ -264,6 +264,27 @@ def _admm_solve(
     y0: jax.Array,
     settings: QPSettings,
 ) -> QPSolution:
+    """Precision shim: pins float32 matmul passes around the real solve.
+
+    TPU matmuls default to reduced-precision (bfloat16) passes; the ADMM
+    residuals must be computed in true float32 or the 1e-6 tolerances are
+    unreachable. This is a trace-time context (a ``with`` so an exception
+    mid-trace cannot leak it), pinning every matmul the solver emits with
+    no effect on other code.
+    """
+    with jax.default_matmul_precision("float32"):
+        return _admm_solve_impl(c, q, l, u, x0, y0, settings)
+
+
+def _admm_solve_impl(
+    c: QPConstants,
+    q: jax.Array,
+    l: jax.Array,
+    u: jax.Array,
+    x0: jax.Array,
+    y0: jax.Array,
+    settings: QPSettings,
+) -> QPSolution:
     """One jitted ADMM solve. Inputs/outputs are in UNSCALED units.
 
     Implements OSQP's adaptive-rho scheme: when the primal/dual relative
@@ -277,13 +298,6 @@ def _admm_solve(
     s = settings
     m = c.A_s.shape[0]
     big = jnp.asarray(jnp.finfo(s.dtype).max / 4, s.dtype)
-
-    # TPU matmuls default to reduced-precision (bfloat16) passes; the ADMM
-    # residuals must be computed in true float32 or the 1e-6 tolerances are
-    # unreachable. This is a trace-time context: it pins every matmul the
-    # solver emits, with no effect on other code.
-    prec_ctx = jax.default_matmul_precision("float32")
-    prec_ctx.__enter__()
 
     # scale problem data
     q_s = c.c_scale * c.d_scale * q
@@ -485,7 +499,6 @@ def _admm_solve(
         status,
     )
 
-    prec_ctx.__exit__(None, None, None)
     return QPSolution(
         x=c.d_scale * x,
         y=(c.e_scale * y / c.c_scale) if m else y,

@@ -125,9 +125,17 @@ def pallas_systematic_resample(
     n, nx = particles.shape
     b, w = block_slots, window
     assert n % b == 0, "particle count must be a multiple of block_slots"
+    # B=2048/W=256 deadlocks on real TPU (wedges the relay for ~5 min,
+    # see CLAUDE.md); only small-B geometries are device-validated.
+    assert b < 2048, f"block_slots={b} is a known-deadlock geometry on TPU"
 
     cs = jnp.cumsum(weights.astype(jnp.float32))
     cs = cs / cs[-1]
+    # the TPU tree cumsum dips by an ulp locally; the kernel's window-count
+    # invariants (counts never decrease across windows) need monotone cs,
+    # and monotonizing makes all formulations agree bitwise (cf.
+    # filters/resampling.py). cummax is ~free on TPU.
+    cs = jax.lax.cummax(cs)
     n_pad = ((n + w - 1) // w) * w + w
     cs_padded = jnp.concatenate([cs, jnp.full((n_pad - n,), 2.0, cs.dtype)])
     cs_padded = cs_padded.reshape(1, n_pad)

@@ -2,9 +2,11 @@
 
 Same merge algorithm as :mod:`gpu_se_tpu.ops.resample_pallas` (v1) — the
 TPU-native replacement for the reference's CUDA resample pipeline
-(/root/reference/filter/particle.py:296-316) — with the v1 kernel's one
-measured cost (~2.9 us of synchronous DMA wait per window visit,
-~8.5 ms at 2^20) removed by restructuring the window stream:
+(/root/reference/filter/particle.py:296-316) — restructured so the v1
+kernel's one identified cost (~2.9 us of synchronous DMA wait per window
+visit, ~8.5 ms at 2^20) is overlapped with compute. Design intent (see
+the calibrated measurements in scripts/probe_v3_time.out for what the
+pipelining actually buys on device):
 
 * **Double buffering.** Two (cs, particles) window buffers; while the
   VPU/MXU consume window ``k`` the DMA engine fills window ``k+1``.
@@ -16,8 +18,8 @@ measured cost (~2.9 us of synchronous DMA wait per window visit,
   whose cumsum tail reaches ``u_max``). That window is already resident,
   and its successor is already in flight, so the per-chunk warm-up fetch
   of v1 (n/b extra synchronous round trips — the *majority* of visits at
-  the production b=128 < w=256 geometry) disappears entirely; only chunk
-  0 pays a cold fetch.
+  a b=128 < w=256 geometry) is avoided by construction; only chunk 0
+  pays a cold fetch.
 
 Invariants (the kernel deadlocks if ever violated — see CLAUDE.md on
 wedged relays, so they are spelled out):
@@ -156,9 +158,15 @@ def pallas_systematic_resample_pipelined(
     n, nx = particles.shape
     b, w = block_slots, window
     assert n % b == 0, "particle count must be a multiple of block_slots"
+    # B=2048/W=256 deadlocks v1 on real TPU (wedges the relay ~5 min, see
+    # CLAUDE.md); v3 shares the window-scan structure, so guard it too.
+    assert b < 2048, f"block_slots={b} is a known-deadlock geometry on TPU"
 
     cs = jnp.cumsum(weights.astype(jnp.float32))
     cs = cs / cs[-1]
+    # monotonize the TPU tree cumsum's ulp dips so the window-count
+    # invariants hold exactly and v1/v3/XLA agree bitwise
+    cs = jax.lax.cummax(cs)
     n_win = ((n + w - 1) // w) * w
     n_lim = n_win + w  # scan stop bound (matches v1's n_pad)
     n_alloc = n_win + 2 * w  # + slack for the depth-1 prefetch
