@@ -10,14 +10,17 @@ Two complementary paths over a 1-D ``Mesh('particles')``:
   exact — this is the correctness anchor.
 
 * :func:`shard_map_step` — explicit SPMD: per-shard predict/update, then
-  distributed systematic resampling as local inclusive scan + exclusive
-  offset from an all-gather of shard totals + all-gather particle
-  exchange over ICI. This is the hand-scheduled analogue of the
-  reference's CUDA pipeline (torch cumsum + Nicely kernel + gather,
-  /root/reference/filter/particle.py:296-316) and the template for the
-  >=2^24-particle regime where the exchange should become a ragged
-  ppermute. Noise is drawn *outside* the shard_map with partitionable
-  keys so both paths see identical randomness.
+  distributed systematic resampling with O(n_local) per-shard memory:
+  a fixed-128-slot segmented cumsum (bitwise width-invariant numerics;
+  only the (n/128,) segment totals are ever replicated), ancestor
+  computation and particle exchange via ppermute rings that rotate one
+  shard-sized block at a time over ICI. This is the hand-scheduled
+  analogue of the reference's CUDA pipeline (torch cumsum + Nicely
+  kernel + gather, /root/reference/filter/particle.py:296-316), scaled
+  to the >=2^24-particle regime the reference exercised
+  (tests/ParallelParticleFilter_test.py:5). Noise is drawn *outside*
+  the shard_map with partitionable keys so both paths see identical
+  randomness.
 """
 from __future__ import annotations
 
@@ -89,54 +92,187 @@ def _local_update(particles, weights, u, z, g, measurement_pdf):
     return weights * measurement_pdf.pdf(z - ys)
 
 
+# Canonical segment length for the distributed cumsum. Any mesh width
+# whose shard size is a multiple of this sees the SAME f32 summation
+# grouping, so resample boundaries are bitwise width-invariant (the
+# motivating failure: a width-dependent local-scan + f32-offset grouping
+# shifted boundaries at 2^22 degenerate weights and moved the point
+# estimate ~3% between widths 2 and 8).
+_SEGMENT = 128
+
+
+def _segmented_ends(weights, r, axis: str):
+    """Distributed ``ends`` vector of the inverse systematic-resample
+    formulation (cf. filters/resampling.py:52-59), with width-invariant
+    numerics and O(n_local) memory.
+
+    The weight cumsum is computed in fixed 128-slot segments: each shard
+    scans its own segments locally, all-gathers only the (n/128,) segment
+    totals, and rebuilds its slice of the global normalized cumsum as
+    ``(inner + offset) / total`` — every f32 rounding is grouped
+    identically for every mesh width (and exactly, since segment sums,
+    their small cumsum, and the elementwise combine see the same operands
+    in the same order regardless of where shard boundaries fall). The
+    integer ``ends`` then needs only an exact cross-shard running max to
+    finish the monotonization.
+    """
+    n_local = weights.shape[0]
+    s_idx = jax.lax.axis_index(axis)
+    n_shards = jax.lax.axis_size(axis)
+    n_global = n_local * n_shards
+
+    seg = _SEGMENT if (n_local % _SEGMENT == 0) else n_local
+    inner = jnp.cumsum(weights.reshape(-1, seg), axis=1)  # per-segment scan
+    totals = jax.lax.all_gather(inner[:, -1], axis).reshape(-1)  # (n/seg,)
+    co = jnp.cumsum(totals)  # tiny, replicated, identical on every shard
+    off = jnp.concatenate([jnp.zeros((1,), co.dtype), co[:-1]])
+    total = co[-1]
+    nseg_local = n_local // seg
+    off_local = jax.lax.dynamic_slice_in_dim(off, s_idx * nseg_local, nseg_local)
+    cs = ((inner + off_local[:, None]) / total).reshape(n_local)
+
+    ends = jnp.floor(n_global * cs - r).astype(jnp.int32)
+    ends = jax.lax.cummax(ends)
+    # cross-shard running max (exact integer ops): prev = max of earlier
+    # shards' final ends
+    lasts = jax.lax.all_gather(ends[-1], axis)  # (n_shards,)
+    prev = jnp.max(
+        jnp.where(jnp.arange(n_shards) < s_idx, lasts, jnp.int32(-1))
+    )
+    ends = jnp.maximum(ends, prev)
+    return jnp.clip(ends, -1, n_global - 1), prev
+
+
+def _ring_perm(n_shards: int):
+    # send to the next shard => after k steps shard s holds block (s-k)%W
+    return [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+
+def _ring_ancestors(ends, prev_end, axis: str):
+    """Global ancestor indices for this shard's output slots, from the
+    distributed ``ends`` blocks, via a ppermute ring (O(n_local) memory).
+
+    Round k processes source block q=(s-k)%W: particle ``kbase+j`` first
+    feeds global slot ``ends[j-1]+1``; the ones landing in this shard's
+    slot range are scattered as seeds and an inclusive running max fills
+    the rest — the distributed form of the scatter+cummax inverse
+    formulation (filters/resampling.py:60-70). The first slot's ancestor
+    (whose seed may live on another shard) is recovered exactly as
+    ``#{ends < first_slot}``, accumulated ring-wide.
+    """
+    n_local = ends.shape[0]
+    s_idx = jax.lax.axis_index(axis)
+    n_shards = jax.lax.axis_size(axis)
+    n_global = n_local * n_shards
+    slot0 = s_idx * n_local
+    perm = _ring_perm(n_shards)
+
+    # boundary value feeding each block's first element: the previous
+    # block's final (monotonized) ends — already computed exactly as
+    # ``prev_end`` on the OWNER of each block, so circulate it alongside.
+    seed = jnp.zeros((n_local,), jnp.int32)
+    cnt0 = jnp.zeros((), jnp.int32)
+    ks = jnp.arange(n_local, dtype=jnp.int32)
+
+    def round_body(rnd, carry):
+        carry_ends, carry_prev, seed, cnt0 = carry
+        q = (s_idx - rnd) % n_shards
+        kbase = q * n_local
+        fs = jnp.concatenate([carry_prev[None], carry_ends[:-1]]) + 1
+        valid = fs <= carry_ends  # particle parents >= 1 slot
+        tgt = fs - slot0
+        tgt = jnp.where(valid & (tgt >= 0) & (tgt < n_local), tgt, n_local)
+        seed = seed.at[tgt].max(kbase + ks, mode="drop")
+        cnt0 = cnt0 + jnp.sum((carry_ends < slot0).astype(jnp.int32))
+        # one extra rotation on the final round returns the block to its
+        # owner; a fori_loop (vs Python unrolling) keeps XLA's buffer
+        # assignment at one live block instead of one per round
+        carry_ends = jax.lax.ppermute(carry_ends, axis, perm)
+        carry_prev = jax.lax.ppermute(carry_prev, axis, perm)
+        return carry_ends, carry_prev, seed, cnt0
+
+    _, _, seed, cnt0 = jax.lax.fori_loop(
+        0, n_shards, round_body, (ends, prev_end, seed, cnt0)
+    )
+    seed = seed.at[0].max(cnt0)
+    anc = jax.lax.cummax(seed)
+    return jnp.clip(anc, 0, n_global - 1)
+
+
+def _ring_gather(pytree, ancestors, axis: str):
+    """Gather globally-indexed rows from the sharded pool via a ppermute
+    ring: each round rotates one O(n_local) block through every shard and
+    copies the rows whose (sorted) ancestors fall in that block — the
+    segmented exchange SURVEY section 7 calls for, replacing the
+    all-gather of the full pool (O(n_global) live bytes per shard)."""
+    n_local = ancestors.shape[0]
+    s_idx = jax.lax.axis_index(axis)
+    n_shards = jax.lax.axis_size(axis)
+    perm = _ring_perm(n_shards)
+    ancestors = jax.lax.optimization_barrier(ancestors)
+
+    out0 = jax.tree_util.tree_map(
+        lambda a: jnp.zeros((n_local,) + a.shape[1:], a.dtype), pytree
+    )
+
+    def round_body(rnd, carry):
+        blocks, out = carry
+        q = (s_idx - rnd) % n_shards
+        lo = q * n_local
+        in_blk = (ancestors >= lo) & (ancestors < lo + n_local)
+        # clipped local indices stay monotone => sorted-gather lowering
+        li = jnp.clip(ancestors - lo, 0, n_local - 1)
+
+        def take_block(args):
+            blocks_, out_ = args
+            def leaf(c, o):
+                g = sorted_row_gather(c, li)
+                m = in_blk.reshape((-1,) + (1,) * (o.ndim - 1))
+                return jnp.where(m, g, o)
+            return jax.tree_util.tree_map(leaf, blocks_, out_)
+
+        # data-dependent skip: no collectives inside, so a per-shard
+        # divergent predicate is safe under shard_map
+        out = jax.lax.cond(
+            jnp.any(in_blk), take_block, lambda args: args[1], (blocks, out)
+        )
+        # rotate every round (the last rotation returns blocks home); the
+        # fori_loop keeps one live visiting block instead of one per round
+        blocks = jax.tree_util.tree_map(
+            lambda a: jax.lax.ppermute(a, axis, perm), blocks
+        )
+        return blocks, out
+
+    _, out = jax.lax.fori_loop(0, n_shards, round_body, (pytree, out0))
+    return out
+
+
 def _distributed_systematic_resample(pytree, weights, r, axis: str):
     """Systematic resample across shards of any pytree of (n_local, ...)
     arrays (particles for the PF; (means, covariances) for the GSUKF —
     the analogue of /root/reference/filter/gs_ukf.py:409-436).
 
-    The global cumsum is computed over the all-gathered weight vector,
-    REPLICATED on every shard — same bytes over ICI as gathering a local
-    cumsum, but the scan input (and hence every f32 rounding) is identical
-    for every mesh width and for the single-device path. The earlier
-    local-scan + f32-offset formulation grouped the summation differently
-    per width, which at 2^22 degenerate weights shifted resample
-    boundaries enough to move the point estimate by ~3% between widths
-    (pinned in tests/test_sharding.py::test_big_n_width_invariance).
+    Memory-scalable: per-shard live bytes stay O(n_global / n_shards).
+    The only O(n_global) objects ever resident are the (n/128,) segment
+    totals. Three stages, all exact int32 after the segmented cumsum:
+
+    1. :func:`_segmented_ends` — width-invariant distributed cumsum ->
+       integer ``ends`` (small all-gathers only);
+    2. :func:`_ring_ancestors` — ancestor indices via a ppermute ring
+       over the ``ends`` blocks;
+    3. :func:`_ring_gather` — particle exchange via a ppermute ring over
+       the particle blocks (each shard keeps one visiting block live).
+
+    Bitwise width-invariance holds whenever every width's shard size is a
+    multiple of 128 (pinned at 2^23/2^24 in tests/test_sharding.py).
     """
     n_local = weights.shape[0]
-    idx = jax.lax.axis_index(axis)
     n_shards = jax.lax.axis_size(axis)
-
-    w_all = jax.lax.all_gather(weights, axis).reshape(-1)  # (n_global,)
-    cum_global = jnp.cumsum(w_all)
-    cum_global = cum_global / cum_global[-1]
-    # tree cumsum can dip by an ulp; searchsorted needs sorted input
-    cum_global = jax.lax.cummax(cum_global)
-
     n_global = n_local * n_shards
-    slots = idx * n_local + jnp.arange(n_local)
-    # u_i = i/n + r/n, NOT (i+r)/n: at i ~ 2^21 the f32 sum (i + r)
-    # quantizes r to the 0.25 ulp of big ints, visibly biasing the strata;
-    # both products stay in [0, 1) where f32 has full 2^-24 resolution
-    inv_n = jnp.asarray(1.0 / n_global, weights.dtype)
-    u_pos = slots.astype(weights.dtype) * inv_n + r * inv_n
-    ancestors = jnp.clip(
-        jnp.searchsorted(cum_global, u_pos, side="left", method="sort"),
-        0,
-        n_global - 1,
-    )
 
-    # barrier: keep XLA from fusing the index computation into the gather
-    # (see gpu_se_tpu/filters/resampling.py); each shard's ancestor slice
-    # is itself monotone non-decreasing, so the sorted-gather lowering
-    # applies shard-locally too
-    ancestors = jax.lax.optimization_barrier(ancestors)
-
-    def gather_leaf(a):
-        pool = jax.lax.all_gather(a, axis).reshape((n_global,) + a.shape[1:])
-        return sorted_row_gather(pool, ancestors)
-
-    new_tree = jax.tree_util.tree_map(gather_leaf, pytree)
+    ends, prev_end = _segmented_ends(weights, r, axis)
+    ancestors = _ring_ancestors(ends, prev_end, axis)
+    new_tree = _ring_gather(pytree, ancestors, axis)
     new_weights = jnp.full((n_local,), 1.0 / n_global, dtype=weights.dtype)
     return new_tree, new_weights
 

@@ -34,7 +34,7 @@ from gpu_se_tpu.ops.resample_pallas3 import (  # noqa: E402
 )
 
 N = 2 ** 20
-CALLS = 7
+CALLS = 25  # each net is ~1-10 ms under a ~25 ms sync RTT; 25 calls tames the jitter
 
 
 def main():
@@ -70,15 +70,20 @@ def main():
         out = sorted_row_gather(p, idx)
         return jnp.sum(out, dtype=jnp.float32) + jnp.sum(idx.astype(jnp.float32))
 
-    variants = [
-        ("null", t_null),
-        ("v1 B=128 W=256", make(lambda p, w, r: pallas_systematic_resample(p, w, r, 128, 256))),
-        ("v3 B=128 W=256", make(lambda p, w, r: pallas_systematic_resample_pipelined(p, w, r, 128, 256))),
-        ("v3 B=256 W=256", make(lambda p, w, r: pallas_systematic_resample_pipelined(p, w, r, 256, 256))),
-        ("v3 B=256 W=512", make(lambda p, w, r: pallas_systematic_resample_pipelined(p, w, r, 256, 512))),
-        ("v3 B=512 W=512", make(lambda p, w, r: pallas_systematic_resample_pipelined(p, w, r, 512, 512))),
-        ("xla scatter+gather", t_xla),
-    ]
+    all_variants = {
+        "v1-128-256": ("v1 B=128 W=256", make(lambda p, w, r: pallas_systematic_resample(p, w, r, 128, 256))),
+        "v3-128-256": ("v3 B=128 W=256", make(lambda p, w, r: pallas_systematic_resample_pipelined(p, w, r, 128, 256))),
+        "v3-256-256": ("v3 B=256 W=256", make(lambda p, w, r: pallas_systematic_resample_pipelined(p, w, r, 256, 256))),
+        "v3-256-512": ("v3 B=256 W=512", make(lambda p, w, r: pallas_systematic_resample_pipelined(p, w, r, 256, 512))),
+        "v3-512-256": ("v3 B=512 W=256", make(lambda p, w, r: pallas_systematic_resample_pipelined(p, w, r, 512, 256))),
+        "v3-512-512": ("v3 B=512 W=512", make(lambda p, w, r: pallas_systematic_resample_pipelined(p, w, r, 512, 512))),
+        "v3-1024-512": ("v3 B=1024 W=512", make(lambda p, w, r: pallas_systematic_resample_pipelined(p, w, r, 1024, 512))),
+        "v3-1024-1024": ("v3 B=1024 W=1024", make(lambda p, w, r: pallas_systematic_resample_pipelined(p, w, r, 1024, 1024))),
+        "xla": ("xla scatter+gather", t_xla),
+    }
+    # one geometry per invocation so an untested-geometry deadlock cannot
+    # take the earlier measurements down with it (see CLAUDE.md)
+    variants = [("null", t_null)] + [all_variants[k] for k in sys.argv[1:]]
 
     def measure(name, fn):
         float(fn(parts, jnp.float32(rng.standard_normal())))  # compile+warm
@@ -88,14 +93,16 @@ def main():
             t0 = time.perf_counter()
             float(fn(parts, eps))
             times.append((time.perf_counter() - t0) * 1e3)
-        return float(np.median(times))
+        qlo, med, qhi = np.percentile(times, [10, 50, 90])
+        return float(med), float(qlo), float(qhi)
 
-    null = measure(*variants[0])
-    print(f"{'null':28s} median {null:8.2f} ms", flush=True)
+    null, nlo, nhi = measure(*variants[0])
+    print(f"{'null':28s} median {null:8.2f} ms  [p10 {nlo:.2f}, p90 {nhi:.2f}]",
+          flush=True)
     for name, fn in variants[1:]:
-        med = measure(name, fn)
-        print(f"{name:28s} median {med:8.2f} ms  -> net {med - null:7.2f} ms",
-              flush=True)
+        med, qlo, qhi = measure(name, fn)
+        print(f"{name:28s} median {med:8.2f} ms  [p10 {qlo:.2f}, p90 {qhi:.2f}]"
+              f"  -> net {med - null:7.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -300,3 +300,98 @@ def test_gsukf_auto_sharded_matches_single_device(rig):
     np.testing.assert_allclose(
         np.asarray(out.covariances), np.asarray(ref.covariances), rtol=1e-4, atol=3e-6
     )
+
+
+def test_2e23_full_step_width_invariance(rig):
+    """2^23 total particles — beyond the repo's single-chip compile limit
+    (CLAUDE.md: remote AOT hangs at >=2^23), the regime SURVEY section 7
+    assigns to the multi-chip path — run SHARDED on the CPU mesh: the
+    full shard_map step is bitwise width-invariant (fixed-segment cumsum
+    + ring exchange; n_local is a multiple of 128 for both widths)."""
+    n = 2 ** 23
+    state = pf_core.init(jax.random.PRNGKey(5), n, rig["x0"])
+    results = []
+    for nd in (2, 8):
+        mesh = make_mesh(nd)
+        step = make_shard_map_step(mesh, rig["f"], rig["g"])
+        out = step(
+            shard_pf_state(state, mesh), rig["u"], rig["z"], jnp.float32(0.1),
+            rig["state_pdf"], rig["meas_pdf"],
+        )
+        results.append(np.asarray(out.particles))
+        del out
+    np.testing.assert_array_equal(results[0], results[1])
+    assert np.isfinite(results[0]).all()
+
+
+def test_2e24_resample_width_invariance_and_memory(rig):
+    """2^24 particles — the reference's max exercised count
+    (/root/reference/tests/ParallelParticleFilter_test.py:5) — resampled
+    SHARDED: (a) bitwise identical rows for widths 4 and 8 under
+    adversarially skewed weights, (b) per-shard temp memory of the
+    compiled resample stays O(n_global / n_shards): the ring exchange
+    never materializes the global pool (the old all-gather path held the
+    full 2^24 x 5 f32 pool = 336 MB live per shard; memory_analysis()
+    reports per-device stats)."""
+    from functools import partial
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax import shard_map
+
+    from gpu_se_tpu.parallel.sharded import _distributed_systematic_resample
+    from gpu_se_tpu.parallel.mesh import PARTICLE_AXIS
+
+    n = 2 ** 24
+    key = jax.random.PRNGKey(7)
+
+    def build(nd):
+        mesh = make_mesh(nd)
+        p_sh = NamedSharding(mesh, P(PARTICLE_AXIS, None))
+        w_sh = NamedSharding(mesh, P(PARTICLE_AXIS))
+        r_sh = NamedSharding(mesh, P())
+
+        @partial(jax.jit, in_shardings=(p_sh, w_sh, r_sh),
+                 out_shardings=(p_sh, w_sh))
+        def res(parts, w, r):
+            @partial(
+                shard_map, mesh=mesh,
+                in_specs=(P(PARTICLE_AXIS, None), P(PARTICLE_AXIS), P()),
+                out_specs=(P(PARTICLE_AXIS, None), P(PARTICLE_AXIS)),
+                check_vma=False,
+            )
+            def body(parts, w, r):
+                return _distributed_systematic_resample(
+                    parts, w, r, PARTICLE_AXIS
+                )
+            return body(parts, w, r)
+
+        # sharded inputs built once per width; threefry_partitionable
+        # makes the draw width-invariant
+        parts = jax.device_put(
+            jax.random.normal(key, (n, 5), jnp.float32), p_sh
+        )
+        w = jax.device_put(jnp.exp(4.0 * jnp.tanh(parts[:, 0]) ** 2), w_sh)
+        return res, parts, w
+
+    res8, parts8, w8 = build(8)
+    out8, _ = res8(parts8, w8, jnp.float32(0.417))
+    got8 = np.asarray(out8)
+    del out8
+
+    # (b) compiled per-shard memory bound, checked before the width-4 run
+    ma = res8.lower(parts8, w8, jnp.float32(0.417)).compile().memory_analysis()
+    del parts8, w8
+    if ma is not None and ma.temp_size_in_bytes:
+        n_local_bytes = (n // 8) * 5 * 4
+        assert ma.temp_size_in_bytes < n * 5 * 4, (
+            f"temp {ma.temp_size_in_bytes} suggests a full-pool gather"
+        )
+        assert ma.temp_size_in_bytes < 4 * n_local_bytes, (
+            f"temp {ma.temp_size_in_bytes} is not O(n_local)={n_local_bytes}"
+        )
+
+    res4, parts4, w4 = build(4)
+    out4, _ = res4(parts4, w4, jnp.float32(0.417))
+    got4 = np.asarray(out4)
+    del out4, parts4, w4
+    np.testing.assert_array_equal(got8, got4)
+    assert np.isfinite(got8).all()
