@@ -1,0 +1,207 @@
+"""Pallas TPU kernel: block-wise fused systematic resample (multi-chip).
+
+The single-chip merge kernels (:mod:`gpu_se_tpu.ops.resample_pallas`,
+``resample_pallas3``) assume the whole cumsum/particle pool is resident
+in one HBM — unusable the moment the particle axis is sharded (VERDICT
+round 2: the two halves of the perf story didn't compose). This module
+generalizes the merge to ONE SOURCE BLOCK at a time, with the search
+state carried between calls, so a sharded step can stream the other
+shards' blocks through (psum-broadcast or ppermute ring, see
+``gpu_se_tpu.parallel.sharded``) and run the fused search+gather kernel
+per visit — the per-shard analogue of the reference's CUDA resample
+(/root/reference/filter/particle.py:296-316) against a distributed pool.
+
+Two deliberate departures from v1/v3:
+
+* **Integer merge domain.** The kernel consumes the monotonized integer
+  ``ends`` vector (ends_k = floor(n*cs_k - r), cummax'd — the same
+  object the XLA inverse formulation scatters, filters/resampling.py:52
+  and parallel/sharded.py::_segmented_ends) instead of the f32 cumsum:
+  ``ancestor[slot] = #{ends < slot}`` with exact int32 compares. This
+  makes the kernel bitwise-equal to the XLA path BY CONSTRUCTION —
+  v1/v3's f32 ``cs < (slot+r)/n`` compare agrees only up to rounding of
+  the stratified positions.
+* **Carried search state.** (counts, acc, finalized) round-trip through
+  HBM between calls (input/output-aliased), so blocks arriving in
+  ascending global order advance one shard's merge incrementally.
+
+Single-chip use is the W=1 special case: one call, zero-initialized
+state, the full array as "the block".
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(slot0_ref, ends_hbm, parts_hbm, cnt_in, acc_in, fin_in,
+            cnt_out, acc_out, fin_out,
+            kbase_ref, ends_win, parts_win, sems, *, n_blk, n_pad, b, w, nx):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        kbase_ref[0] = 0
+
+    slot0 = slot0_ref[0]
+    slot = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0) + (slot0 + i * b)
+    slot_max = jnp.max(slot)
+
+    def fetch(start):
+        start = pl.multiple_of(start, w)
+        c1 = pltpu.make_async_copy(
+            ends_hbm.at[:, pl.ds(start, w)], ends_win, sems.at[0]
+        )
+        c2 = pltpu.make_async_copy(
+            parts_hbm.at[:, pl.ds(start, w)], parts_win, sems.at[1]
+        )
+        c1.start()
+        c2.start()
+        c1.wait()
+        c2.wait()
+
+    def body(carry):
+        start, counts, acc, finalized, _done = carry
+        fetch(start)
+        ends_row = ends_win[:]  # (1, w) int32
+        lt = (ends_row < slot).astype(jnp.int32)  # (b, w)
+        c_in = jnp.sum(lt, axis=1, keepdims=True)  # (b, 1) in-window count
+        col = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
+        # float32 0/1 masks: Mosaic cannot carry i1 vectors through
+        # scf.while yields
+        open_mask = 1.0 - finalized  # (b, 1) slots still searching
+        # a crossing counts only at a REAL entry of this block: padding
+        # (+inf) stops the count but must not finalize — the ancestor may
+        # live in a later block (single-chip kernels never see this case)
+        real_w = jnp.clip(n_blk - start, 0, w)
+        hits = (
+            jnp.where(col == c_in, 1.0, 0.0)
+            * jnp.where(c_in < real_w, 1.0, 0.0)
+            * open_mask
+        )
+        acc = acc + jax.lax.dot_general(
+            hits, parts_win[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # exact gather
+        )
+        counts = counts + c_in
+        finalized = jnp.maximum(finalized, jnp.where(c_in < real_w, 1.0, 0.0))
+        done = jnp.where(
+            (ends_row[0, w - 1] >= slot_max) | (start + w >= n_pad), 1, 0
+        ).astype(jnp.int32)
+        # stay on the final window when done: the next chunk resumes (and
+        # rescans) it, with counts0 covering only the entries before it
+        nstart = jnp.where(done == 0, start + w, start)
+        return nstart, counts, acc, finalized, done
+
+    def cond(carry):
+        return carry[4] == 0
+
+    start0 = kbase_ref[0]
+    # block entries before the resume window are < every slot of this
+    # chunk (they precede the previous chunk's last ancestor) but were
+    # not counted by previous ROUNDS — add them to the carried counts
+    counts0 = cnt_in[:] + start0
+    acc0 = acc_in[:]
+    fin0 = fin_in[:]
+    fstart, counts, acc, fin, _ = jax.lax.while_loop(
+        cond, body, (start0, counts0, acc0, fin0, jnp.asarray(0, jnp.int32))
+    )
+
+    cnt_out[:] = counts
+    acc_out[:] = acc
+    fin_out[:] = fin
+    # resume where the scan stopped: every block entry before it has been
+    # counted into counts (and is < all later chunks' slots)
+    kbase_ref[0] = fstart
+
+
+def pallas_block_resample_round(
+    ends_block: jax.Array, parts_block: jax.Array, slot0,
+    counts: jax.Array, acc: jax.Array, finalized: jax.Array,
+    block_slots: int = 128, window: int = 256, interpret: bool = False,
+):
+    """Advance one shard's merge state over one source block.
+
+    Parameters
+    ----------
+    ends_block : (n_blk,) int32 — this block's slice of the globally
+        monotonized ``ends`` vector (ascending blocks must be fed in
+        ascending order).
+    parts_block : (n_blk, nx<=8) float32 — the block's particle rows.
+    slot0 : scalar int32 — global index of this shard's first output slot.
+    counts, acc, finalized : (n_local, 1) i32 / (n_local, 8) f32 /
+        (n_local, 1) f32 — carried search state (zeros before the first
+        block). ``counts`` accumulates #{ends < slot}; after the last
+        block it IS the ancestor vector (clip to [0, n_global-1]) and
+        ``acc[:, :nx]`` holds the gathered rows.
+
+    Returns ``(counts, acc, finalized)`` advanced past this block.
+    """
+    n_blk, nx = parts_block.shape
+    n_local = counts.shape[0]
+    b, w = block_slots, window
+    assert n_local % b == 0, "n_local must be a multiple of block_slots"
+    assert b < 2048, f"block_slots={b} is a known-deadlock geometry on TPU"
+
+    n_pad = ((n_blk + w - 1) // w) * w + w
+    big = jnp.int32(2**31 - 1)
+    ends_padded = jnp.concatenate(
+        [ends_block.astype(jnp.int32), jnp.full((n_pad - n_blk,), big, jnp.int32)]
+    ).reshape(1, n_pad)
+    parts_padded = jnp.zeros((8, n_pad), jnp.float32)
+    parts_padded = parts_padded.at[:nx, :n_blk].set(
+        parts_block.astype(jnp.float32).T
+    )
+
+    kernel = functools.partial(
+        _kernel, n_blk=n_blk, n_pad=n_pad, b=b, w=w, nx=nx
+    )
+    cnt, acc_o, fin = pl.pallas_call(
+        kernel,
+        grid=(n_local // b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # slot0
+            pl.BlockSpec(memory_space=pltpu.HBM),  # ends
+            pl.BlockSpec(memory_space=pltpu.HBM),  # particles
+            pl.BlockSpec((b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_local, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_local, 8), jnp.float32),
+            jax.ShapeDtypeStruct((n_local, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((1,), jnp.int32),  # carry: resume window start
+            pltpu.VMEM((1, w), jnp.int32),  # ends window
+            pltpu.VMEM((8, w), jnp.float32),  # particle window (transposed)
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        input_output_aliases={3: 0, 4: 1, 5: 2},
+        interpret=interpret,
+    )(
+        jnp.asarray(slot0, jnp.int32).reshape(1),
+        ends_padded, parts_padded, counts, acc, finalized,
+    )
+    return cnt, acc_o, fin
+
+
+def block_resample_state(n_local: int):
+    """Fresh carried state for :func:`pallas_block_resample_round`."""
+    return (
+        jnp.zeros((n_local, 1), jnp.int32),
+        jnp.zeros((n_local, 8), jnp.float32),
+        jnp.zeros((n_local, 1), jnp.float32),
+    )

@@ -247,6 +247,78 @@ def _ring_gather(pytree, ancestors, axis: str):
     return out
 
 
+def _distributed_systematic_resample_kernel(
+    particles, weights, r, axis: str, *,
+    block_slots: int = 128, window: int = 256, interpret: bool = False,
+):
+    """Sharded systematic resample whose per-shard search+gather runs the
+    fused Pallas block-merge kernel (ops/resample_pallas_block.py) — the
+    composition of the single-chip kernel story with the multi-chip
+    protocol (VERDICT round 2, task 3). PF-only (single (n_local, nx<=8)
+    leaf); the GSUKF keeps the XLA ring.
+
+    Identical semantics to :func:`_distributed_systematic_resample`: the
+    kernel consumes the same width-invariant integer ``ends`` blocks, so
+    ancestors and rows are bitwise-equal to the XLA ring by construction
+    (integer compares, exact one-hot gather). Blocks are visited in
+    ascending global order via a psum-masked broadcast (the merge is
+    order-sensitive, unlike the ring's order-free scatter), with two
+    data-dependent skips: a block wholly below this shard's slot range
+    contributes only a count shift, and a shard whose slots are all
+    finalized stops scanning entirely.
+    """
+    from gpu_se_tpu.ops.resample_pallas_block import (
+        block_resample_state,
+        pallas_block_resample_round,
+    )
+
+    n_local, nx = particles.shape
+    s_idx = jax.lax.axis_index(axis)
+    n_shards = jax.lax.axis_size(axis)
+    n_global = n_local * n_shards
+    slot0 = s_idx * n_local
+
+    ends, _prev = _segmented_ends(weights, r, axis)
+    counts, acc, fin = block_resample_state(n_local)
+
+    def round_body(q, carry):
+        counts, acc, fin = carry
+        mine = (s_idx == q).astype(jnp.int32)
+        blk_ends = jax.lax.psum(ends * mine, axis)
+        blk_parts = jax.lax.psum(
+            particles * mine.astype(particles.dtype), axis
+        )
+
+        full_below = blk_ends[-1] < slot0
+        all_done = jnp.all(fin > 0.5)
+
+        def skip_below(c, a, f):
+            return c + n_local, a, f
+
+        def scan_block(c, a, f):
+            return pallas_block_resample_round(
+                blk_ends, blk_parts, slot0, c, a, f,
+                block_slots=block_slots, window=window, interpret=interpret,
+            )
+
+        counts, acc, fin = jax.lax.cond(
+            full_below,
+            skip_below,
+            lambda c, a, f: jax.lax.cond(
+                all_done, lambda c, a, f: (c, a, f), scan_block, c, a, f
+            ),
+            counts, acc, fin,
+        )
+        return counts, acc, fin
+
+    counts, acc, fin = jax.lax.fori_loop(
+        0, n_shards, round_body, (counts, acc, fin)
+    )
+    new_particles = acc[:, :nx].astype(particles.dtype)
+    new_weights = jnp.full((n_local,), 1.0 / n_global, dtype=weights.dtype)
+    return new_particles, new_weights
+
+
 def _distributed_systematic_resample(pytree, weights, r, axis: str):
     """Systematic resample across shards of any pytree of (n_local, ...)
     arrays (particles for the PF; (means, covariances) for the GSUKF —
@@ -278,12 +350,18 @@ def _distributed_systematic_resample(pytree, weights, r, axis: str):
 
 
 def make_shard_map_step(mesh: Mesh, f: Callable, g: Callable,
-                        axis: str = PARTICLE_AXIS):
+                        axis: str = PARTICLE_AXIS,
+                        resample_impl: str = "xla"):
     """Fused sharded PF step with hand-written collectives.
 
     Noise/uniform draws happen outside the shard_map with partitionable
     keys, so results are bitwise identical to the single-device step
     whenever XLA keeps the elementwise math in the same order.
+
+    ``resample_impl``: "xla" (scatter+ring, any pytree), "kernel" (fused
+    Pallas block-merge per shard, real TPU), or "kernel_interpret" (same
+    kernel via the Pallas interpreter — the CPU-mesh test path). All
+    three are bitwise-equal (integer ``ends`` merge domain).
     """
 
     def step(state: PFState, u, z, dt, state_pdf: GaussianSum,
@@ -305,9 +383,15 @@ def make_shard_map_step(mesh: Mesh, f: Callable, g: Callable,
         def sharded(particles, weights, u, z, dt, noise, r):
             particles = _local_predict(particles, u, dt, noise, f)
             weights = _local_update(particles, weights, u, z, g, measurement_pdf)
-            particles, weights = _distributed_systematic_resample(
-                particles, weights, r, axis
-            )
+            if resample_impl == "xla":
+                particles, weights = _distributed_systematic_resample(
+                    particles, weights, r, axis
+                )
+            else:
+                particles, weights = _distributed_systematic_resample_kernel(
+                    particles, weights, r, axis,
+                    interpret=(resample_impl == "kernel_interpret"),
+                )
             return particles, weights
 
         particles, weights = sharded(
