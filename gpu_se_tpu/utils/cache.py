@@ -38,6 +38,18 @@ class PickleJar(joblib.memory.MemorizedFunc):
         location = os.path.join(root, location)
         super().__init__(func, location)
 
+        # joblib drops a '.gitignore' with '*' into every cache dir it
+        # creates — which silently keeps the campaign memos out of git.
+        # The jar is MEANT to be committed (the reference ships its
+        # results cache as a repo, /root/reference/README.md:22-38), so
+        # scrub them.
+        for dirpath, _dirs, files in os.walk(location):
+            if ".gitignore" in files:
+                try:
+                    os.remove(os.path.join(dirpath, ".gitignore"))
+                except OSError:
+                    pass
+
         if self.cache_settings["force_same_code"]:
             func_code, source_file, first_line = joblib.memory.get_func_code(self.func)
             self._write_func_code(func_code, first_line)

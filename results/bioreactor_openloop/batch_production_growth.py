@@ -10,7 +10,7 @@ import numpy as np
 from results._common import openloop_staged_run, save_fig
 
 
-def simulate():
+def simulate(end_time=800):
     schedule = [
         (25.0, np.array([0.0, 0.0])),
         (200.0, np.array([0.03, 0.0])),
@@ -18,7 +18,7 @@ def simulate():
         (np.inf, np.array([0.074, 0.0])),
     ]
     return openloop_staged_run(
-        end_time=800,
+        end_time=end_time,
         schedule=schedule,
         X0=[3000 / 180, 1 / 24.6, 0.0, 0.0, 0.0],
         noisy=True,

@@ -8,7 +8,7 @@ import numpy as np
 from results._common import openloop_staged_run, save_fig
 
 
-def simulate():
+def simulate(end_time=1000):
     schedule = [
         (25.0, np.array([0.0, 0.0])),
         (400.0, np.array([0.06, 0.2])),
@@ -16,7 +16,7 @@ def simulate():
         (np.inf, np.array([0.04, 0.1])),
     ]
     return openloop_staged_run(
-        end_time=1000,
+        end_time=end_time,
         schedule=schedule,
         X0=[3000 / 180, 1 / 24.6, 0.0, 0.0, 0.0],
         noisy=True,
