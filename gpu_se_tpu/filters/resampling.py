@@ -103,9 +103,12 @@ def sorted_row_gather(a: jax.Array, idx: jax.Array) -> jax.Array:
 # ~10.4 ms for scatter+cummax indices + row gather (calibrated
 # device-times, see CLAUDE.md). The XLA path remains the reference
 # semantics (and the only path on CPU / for multi-leaf pytrees).
-_IMPL = "auto"  # "auto" | "xla" | "pallas" | "interpret"
+_IMPL = "auto"  # "auto" | "xla" | "pallas" | "interpret" | "ends" | "ends_interpret"
 _KERNEL_BLOCK = 128
 _KERNEL_WINDOW = 256
+# geometry for the ends-domain pipelined kernel (resample_pallas_block)
+_ENDS_BLOCK = 256
+_ENDS_WINDOW = 256
 
 
 class impl:
@@ -138,7 +141,7 @@ def _kernel_applicable(pytree, n: int) -> bool:
         return False
     if _IMPL == "xla":
         return False
-    if _IMPL in ("pallas", "interpret"):
+    if _IMPL in ("pallas", "interpret", "ends", "ends_interpret"):
         return True
     return jax.default_backend() == "tpu"
 
@@ -160,14 +163,29 @@ def systematic_resample(pytree, weights: jax.Array, key: jax.Array):
     r = jax.random.uniform(key, ())
 
     if _kernel_applicable(pytree, n):
-        from gpu_se_tpu.ops.resample_pallas import pallas_systematic_resample
-
         leaves, treedef = jax.tree_util.tree_flatten(pytree)
-        out, anc = pallas_systematic_resample(
-            leaves[0], weights, r,
-            block_slots=_KERNEL_BLOCK, window=_KERNEL_WINDOW,
-            interpret=(_IMPL == "interpret"),
-        )
+        if _IMPL in ("ends", "ends_interpret"):
+            # integer-ends merge kernel: bitwise-equal to the XLA path
+            # by construction (ops/resample_pallas_block.py)
+            from gpu_se_tpu.ops.resample_pallas_block import (
+                pallas_systematic_resample_ends,
+            )
+
+            out, anc = pallas_systematic_resample_ends(
+                leaves[0], weights, r,
+                block_slots=_ENDS_BLOCK, window=_ENDS_WINDOW,
+                interpret=(_IMPL == "ends_interpret"),
+            )
+        else:
+            from gpu_se_tpu.ops.resample_pallas import (
+                pallas_systematic_resample,
+            )
+
+            out, anc = pallas_systematic_resample(
+                leaves[0], weights, r,
+                block_slots=_KERNEL_BLOCK, window=_KERNEL_WINDOW,
+                interpret=(_IMPL == "interpret"),
+            )
         rest = [
             sorted_row_gather(leaf, jax.lax.optimization_barrier(anc))
             for leaf in leaves[1:]

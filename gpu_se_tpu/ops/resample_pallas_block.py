@@ -205,3 +205,212 @@ def block_resample_state(n_local: int):
         jnp.zeros((n_local, 8), jnp.float32),
         jnp.zeros((n_local, 1), jnp.float32),
     )
+
+
+# ----------------------------------------------------------------------
+# Double-buffered variant: the v3 window pipeline (resample_pallas3)
+# applied to the block-merge kernel. Same carried-state semantics as
+# pallas_block_resample_round; the DMA engine fills window k+1 while the
+# VPU/MXU consume window k, and chunk i+1 resumes on chunk i's final
+# window, which is still resident (only chunk 0 of each call pays a
+# cold fetch).
+# ----------------------------------------------------------------------
+def _kernel_pipelined(slot0_ref, ends_hbm, parts_hbm, cnt_in, acc_in, fin_in,
+                      cnt_out, acc_out, fin_out,
+                      kbase_ref, cur_ref, ends_win, parts_win, sems,
+                      *, n_blk, n_lim, b, w, nx, nchunks, gather_precision):
+    i = pl.program_id(0)
+
+    def ends_copy(start, slot):
+        start = pl.multiple_of(start, w)
+        return pltpu.make_async_copy(
+            ends_hbm.at[:, pl.ds(start, w)], ends_win.at[slot], sems.at[slot, 0]
+        )
+
+    def parts_copy(start, slot):
+        start = pl.multiple_of(start, w)
+        return pltpu.make_async_copy(
+            parts_hbm.at[:, pl.ds(start, w)], parts_win.at[slot], sems.at[slot, 1]
+        )
+
+    @pl.when(i == 0)
+    def _():
+        kbase_ref[0] = 0
+        cur_ref[0] = 0
+        ends_copy(0, 0).start()
+        parts_copy(0, 0).start()
+        ends_copy(w, 1).start()
+        parts_copy(w, 1).start()
+        ends_copy(0, 0).wait()
+        parts_copy(0, 0).wait()
+
+    slot0 = slot0_ref[0]
+    slot = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0) + (slot0 + i * b)
+    slot_max = jnp.max(slot)
+
+    def body(carry):
+        start, cur, counts, acc, finalized, _done = carry
+        ends_row = ends_win[cur]  # (1, w) int32
+        lt = (ends_row < slot).astype(jnp.int32)
+        c_in = jnp.sum(lt, axis=1, keepdims=True)
+        col = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
+        open_mask = 1.0 - finalized
+        real_w = jnp.clip(n_blk - start, 0, w)  # crossings only at real entries
+        hits = (
+            jnp.where(col == c_in, 1.0, 0.0)
+            * jnp.where(c_in < real_w, 1.0, 0.0)
+            * open_mask
+        )
+        # one-hot gather: HIGH (bf16x3) is exact for 0/1 x f32 products
+        # (3x8-bit mantissa slices reconstruct the f32 operand) at half
+        # the MXU passes of HIGHEST; exactness is pinned in tests
+        acc = acc + jax.lax.dot_general(
+            hits, parts_win[cur],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=gather_precision,
+        )
+        counts = counts + c_in
+        finalized = jnp.maximum(finalized, jnp.where(c_in < real_w, 1.0, 0.0))
+        done = jnp.where(
+            (ends_row[0, w - 1] >= slot_max) | (start + w >= n_lim), 1, 0
+        ).astype(jnp.int32)
+
+        @pl.when(done == 0)
+        def _():
+            ends_copy(start + w, 1 - cur).wait()
+            parts_copy(start + w, 1 - cur).wait()
+            ends_copy(start + 2 * w, cur).start()
+            parts_copy(start + 2 * w, cur).start()
+
+        nstart = jnp.where(done == 0, start + w, start)
+        ncur = jnp.where(done == 0, 1 - cur, cur)
+        return nstart, ncur, counts, acc, finalized, done
+
+    def cond(carry):
+        return carry[5] == 0
+
+    start0 = kbase_ref[0]
+    cur0 = cur_ref[0]
+    counts0 = cnt_in[:] + start0
+    fstart, fcur, counts, acc, fin, _ = jax.lax.while_loop(
+        cond, body,
+        (start0, cur0, counts0, acc_in[:], fin_in[:],
+         jnp.asarray(0, jnp.int32)),
+    )
+
+    cnt_out[:] = counts
+    acc_out[:] = acc
+    fin_out[:] = fin
+    kbase_ref[0] = fstart
+    cur_ref[0] = fcur
+
+    @pl.when(i == nchunks - 1)
+    def _():
+        ends_copy(fstart + w, 1 - fcur).wait()
+        parts_copy(fstart + w, 1 - fcur).wait()
+
+
+def pallas_block_resample_round_pipelined(
+    ends_block: jax.Array, parts_block: jax.Array, slot0,
+    counts: jax.Array, acc: jax.Array, finalized: jax.Array,
+    block_slots: int = 256, window: int = 256, interpret: bool = False,
+    gather_precision=jax.lax.Precision.HIGHEST,
+):
+    """DMA-pipelined :func:`pallas_block_resample_round` (same contract)."""
+    n_blk, nx = parts_block.shape
+    n_local = counts.shape[0]
+    b, w = block_slots, window
+    assert n_local % b == 0, "n_local must be a multiple of block_slots"
+    assert b < 2048, f"block_slots={b} is a known-deadlock geometry on TPU"
+
+    n_win = ((n_blk + w - 1) // w) * w
+    n_lim = n_win + w  # scan stop bound
+    n_alloc = n_win + 2 * w  # + slack for the depth-1 prefetch
+    big = jnp.int32(2**31 - 1)
+    ends_padded = jnp.concatenate(
+        [ends_block.astype(jnp.int32),
+         jnp.full((n_alloc - n_blk,), big, jnp.int32)]
+    ).reshape(1, n_alloc)
+    parts_padded = jnp.zeros((8, n_alloc), jnp.float32)
+    parts_padded = parts_padded.at[:nx, :n_blk].set(
+        parts_block.astype(jnp.float32).T
+    )
+
+    kernel = functools.partial(
+        _kernel_pipelined, n_blk=n_blk, n_lim=n_lim, b=b, w=w, nx=nx,
+        nchunks=n_local // b, gather_precision=gather_precision,
+    )
+    cnt, acc_o, fin = pl.pallas_call(
+        kernel,
+        grid=(n_local // b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # slot0
+            pl.BlockSpec(memory_space=pltpu.HBM),  # ends
+            pl.BlockSpec(memory_space=pltpu.HBM),  # particles
+            pl.BlockSpec((b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_local, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_local, 8), jnp.float32),
+            jax.ShapeDtypeStruct((n_local, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((1,), jnp.int32),  # carry: resident window start
+            pltpu.SMEM((1,), jnp.int32),  # carry: resident buffer slot
+            pltpu.VMEM((2, 1, w), jnp.int32),  # ends windows (2 slots)
+            pltpu.VMEM((2, 8, w), jnp.float32),  # particle windows (2 slots)
+            pltpu.SemaphoreType.DMA((2, 2)),  # [slot, {ends, parts}]
+        ],
+        input_output_aliases={3: 0, 4: 1, 5: 2},
+        interpret=interpret,
+    )(
+        jnp.asarray(slot0, jnp.int32).reshape(1),
+        ends_padded, parts_padded, counts, acc, finalized,
+    )
+    return cnt, acc_o, fin
+
+
+def pallas_systematic_resample_ends(
+    particles: jax.Array, weights: jax.Array, r: jax.Array,
+    block_slots: int = 256, window: int = 256, interpret: bool = False,
+    pipelined: bool = True, gather_precision=jax.lax.Precision.HIGHEST,
+):
+    """Single-chip fused systematic resample in the integer ends domain.
+
+    Semantics identical to ``systematic_resample_indices`` + row gather
+    (filters/resampling.py) — and bitwise-equal BY CONSTRUCTION, because
+    the host prep computes the very same ``ends`` vector the XLA
+    formulation scatters, and the kernel's compares are exact int32.
+    Returns ``(resampled_particles, ancestors)`` like
+    :func:`gpu_se_tpu.ops.resample_pallas.pallas_systematic_resample`.
+    """
+    n, nx = particles.shape
+    # exactly the XLA index formulation's prep (resampling.py:44-59)
+    cumsum = jnp.cumsum(weights)
+    cumsum = cumsum / cumsum[-1]
+    ends = jnp.floor(n * cumsum - r).astype(jnp.int32)
+    ends = jax.lax.cummax(ends)
+    ends = jnp.clip(ends, -1, n - 1)
+
+    counts, acc, fin = block_resample_state(n)
+    if pipelined:
+        counts, acc, fin = pallas_block_resample_round_pipelined(
+            ends, particles, 0, counts, acc, fin,
+            block_slots=block_slots, window=window, interpret=interpret,
+            gather_precision=gather_precision,
+        )
+    else:
+        counts, acc, fin = pallas_block_resample_round(
+            ends, particles, 0, counts, acc, fin,
+            block_slots=block_slots, window=window, interpret=interpret,
+        )
+    anc = jnp.clip(counts[:, 0], 0, n - 1)
+    return acc[:, :nx].astype(particles.dtype), anc

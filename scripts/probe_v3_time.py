@@ -32,6 +32,9 @@ from gpu_se_tpu.ops.resample_pallas import pallas_systematic_resample  # noqa: E
 from gpu_se_tpu.ops.resample_pallas3 import (  # noqa: E402
     pallas_systematic_resample_pipelined,
 )
+from gpu_se_tpu.ops.resample_pallas_block import (  # noqa: E402
+    pallas_systematic_resample_ends,
+)
 
 N = 2 ** 20
 CALLS = 25  # each net is ~1-10 ms under a ~25 ms sync RTT; 25 calls tames the jitter
@@ -80,6 +83,15 @@ def main():
         "v3-1024-512": ("v3 B=1024 W=512", make(lambda p, w, r: pallas_systematic_resample_pipelined(p, w, r, 1024, 512))),
         "v3-1024-1024": ("v3 B=1024 W=1024", make(lambda p, w, r: pallas_systematic_resample_pipelined(p, w, r, 1024, 1024))),
         "xla": ("xla scatter+gather", t_xla),
+        "e-128-256": ("ends B=128 W=256", make(lambda p, w, r: pallas_systematic_resample_ends(p, w, r, 128, 256))),
+        "e-256-256": ("ends B=256 W=256", make(lambda p, w, r: pallas_systematic_resample_ends(p, w, r, 256, 256))),
+        "e-256-512": ("ends B=256 W=512", make(lambda p, w, r: pallas_systematic_resample_ends(p, w, r, 256, 512))),
+        "e-512-512": ("ends B=512 W=512", make(lambda p, w, r: pallas_systematic_resample_ends(p, w, r, 512, 512))),
+        "e-512-1024": ("ends B=512 W=1024", make(lambda p, w, r: pallas_systematic_resample_ends(p, w, r, 512, 1024))),
+        "e-1024-1024": ("ends B=1024 W=1024", make(lambda p, w, r: pallas_systematic_resample_ends(p, w, r, 1024, 1024))),
+        "eh-256-256": ("ends HIGH B=256 W=256", make(lambda p, w, r: pallas_systematic_resample_ends(p, w, r, 256, 256, gather_precision=jax.lax.Precision.HIGH))),
+        "eh-512-512": ("ends HIGH B=512 W=512", make(lambda p, w, r: pallas_systematic_resample_ends(p, w, r, 512, 512, gather_precision=jax.lax.Precision.HIGH))),
+        "es-256-256": ("ends sync B=256 W=256", make(lambda p, w, r: pallas_systematic_resample_ends(p, w, r, 256, 256, pipelined=False))),
     }
     # one geometry per invocation so an untested-geometry deadlock cannot
     # take the earlier measurements down with it (see CLAUDE.md)

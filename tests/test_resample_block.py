@@ -172,3 +172,64 @@ def test_full_step_kernel_impl_matches_xla_impl():
         outs.append(np.asarray(out.particles))
     np.testing.assert_array_equal(outs[0], outs[1])
     assert np.isfinite(outs[0]).all()
+
+
+@pytest.mark.parametrize("b,w", [(128, 256), (256, 256), (256, 128),
+                                 (512, 512)])
+def test_ends_wrapper_geometries(b, w):
+    """Single-chip ends-domain wrapper (sync and pipelined) is bitwise
+    equal to the XLA formulation across kernel geometries."""
+    from gpu_se_tpu.ops.resample_pallas_block import (
+        pallas_systematic_resample_ends,
+    )
+
+    n = 2 ** 12
+    rng = np.random.default_rng(b + w)
+    parts = jnp.asarray(rng.standard_normal((n, 5)), jnp.float32)
+    wts = jnp.exp(6.0 * jnp.tanh(parts[:, 0]) ** 2)
+    r = jnp.float32(0.63)
+    idx = systematic_resample_indices(wts, r)
+    out_x = sorted_row_gather(parts, idx)
+    for pipelined in (False, True):
+        out, anc = pallas_systematic_resample_ends(
+            parts, wts, r, b, w, interpret=True, pipelined=pipelined
+        )
+        np.testing.assert_array_equal(np.asarray(anc), np.asarray(idx))
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(out_x))
+
+
+def test_pipelined_round_matches_sync_round_multiblock():
+    """The pipelined block round advances the carried state identically
+    to the sync round when fed ascending blocks of a split pool."""
+    from gpu_se_tpu.ops.resample_pallas_block import (
+        pallas_block_resample_round_pipelined,
+    )
+
+    n, n_blocks = 2 ** 12, 4
+    n_blk = n // n_blocks
+    rng = np.random.default_rng(5)
+    parts = jnp.asarray(rng.standard_normal((n, 5)), jnp.float32)
+    w = jnp.exp(8.0 * jnp.tanh(parts[:, 0]) ** 2)
+    r = jnp.float32(0.41)
+    ends = _ends_single(w, r)
+    idx = systematic_resample_indices(w, r)
+    out_x = sorted_row_gather(parts, idx)
+
+    states = {
+        "sync": block_resample_state(n),
+        "pipe": block_resample_state(n),
+    }
+    for q in range(n_blocks):
+        sl = slice(q * n_blk, (q + 1) * n_blk)
+        states["sync"] = pallas_block_resample_round(
+            ends[sl], parts[sl], 0, *states["sync"], 128, 256, interpret=True
+        )
+        states["pipe"] = pallas_block_resample_round_pipelined(
+            ends[sl], parts[sl], 0, *states["pipe"], 128, 256, interpret=True
+        )
+    for name, (counts, acc, fin) in states.items():
+        anc = jnp.clip(counts[:, 0], 0, n - 1)
+        np.testing.assert_array_equal(np.asarray(anc), np.asarray(idx),
+                                      err_msg=name)
+        np.testing.assert_array_equal(np.asarray(acc[:, :5]),
+                                      np.asarray(out_x), err_msg=name)

@@ -153,3 +153,50 @@ def test_pallas_kernel_multi_leaf_matches_xla():
         (gm, gc), _ = jax.jit(resampling.systematic_resample)((means, covs), w, k3)
     np.testing.assert_array_equal(np.asarray(gm), np.asarray(rm))
     np.testing.assert_array_equal(np.asarray(gc), np.asarray(rc))
+
+
+def test_ends_impl_path_matches_xla():
+    """impl('ends_interpret') routes systematic_resample through the
+    integer-ends pipelined kernel; bitwise-equal to the XLA path."""
+    from gpu_se_tpu.filters import resampling
+
+    n = 2 ** 12
+    key = jax.random.PRNGKey(11)
+    parts = jax.random.normal(key, (n, 5), jnp.float32)
+    w = jnp.exp(5.0 * jnp.tanh(parts[:, 0]) ** 2)
+    kr = jax.random.PRNGKey(12)
+
+    with resampling.impl("xla"):
+        ref, rw = resampling.systematic_resample(parts, w, kr)
+    with resampling.impl("ends_interpret"):
+        out, ow = resampling.systematic_resample(parts, w, kr)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(ow), np.asarray(rw))
+
+
+def test_ends_impl_high_precision_gather_exact():
+    """HIGH (bf16x3) one-hot gather reconstructs f32 rows exactly —
+    the cheaper-precision claim the TPU default may rely on."""
+    from gpu_se_tpu.ops.resample_pallas_block import (
+        pallas_systematic_resample_ends,
+    )
+    from gpu_se_tpu.filters.resampling import (
+        sorted_row_gather, systematic_resample_indices,
+    )
+
+    n = 2 ** 12
+    # adversarial mantissas: denormals, huge/tiny magnitudes, ulp studs
+    rng = np.random.default_rng(3)
+    parts = (rng.standard_normal((n, 5)) *
+             10.0 ** rng.integers(-30, 30, (n, 5))).astype(np.float32)
+    parts = jnp.asarray(parts)
+    w = jnp.exp(4.0 * jnp.tanh(parts[:, 0] / (1 + jnp.abs(parts[:, 0]))) ** 2)
+    r = jnp.float32(0.37)
+    idx = systematic_resample_indices(w, r)
+    ref = sorted_row_gather(parts, idx)
+    out, anc = pallas_systematic_resample_ends(
+        parts, w, r, 256, 256, interpret=True,
+        gather_precision=jax.lax.Precision.HIGH,
+    )
+    np.testing.assert_array_equal(np.asarray(anc), np.asarray(idx))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
