@@ -94,6 +94,13 @@ def plot(runs=50):
             )
         ax.set_title(name); ax.set_xlabel("N Gaussians"); ax.legend()
     axes[0].set_ylabel("time per call (s)")
+    fig.text(
+        0.5, -0.02,
+        "TPU legs at large N fail the reference's pacf < 0.2 gate "
+        "(relay queue autocorrelation; results/README.md) - calibrated "
+        "device times live in results/artifacts/CALIBRATED_OPS.json",
+        ha="center", fontsize=8, style="italic",
+    )
     save_fig("gsf_run_seq.png")
 
     plt.figure(figsize=(6.25, 5))

@@ -88,6 +88,13 @@ def plot(runs=50):
         ax.set_xlabel("N particles")
         ax.legend()
     axes[0].set_ylabel("time per call (s)")
+    fig.text(
+        0.5, -0.02,
+        "TPU legs at N >= 2^19 fail the reference's pacf < 0.2 gate "
+        "(relay queue autocorrelation; results/README.md) - calibrated "
+        "device times live in results/artifacts/CALIBRATED_OPS.json",
+        ha="center", fontsize=8, style="italic",
+    )
     save_fig("pf_run_seq.png")
 
     # speed-up plot (cf. pf_run_seq.py:416-452)

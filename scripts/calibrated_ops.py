@@ -1,0 +1,197 @@
+"""Calibrated per-op device times -> results/artifacts/CALIBRATED_OPS.json.
+
+The relay-proof methodology (CLAUDE.md): fresh inputs derived on device
+from a host-fresh scalar, an in-jit scalar reduction fetched with
+float() (forces completion), minus a null-workload calibration of the
+same shape. Each entry reports median with [p10, p90] over CALLS calls
+(ADVICE round 2: 7 calls left the net inside the RTT jitter; 25+ here).
+
+Usage: env PYTHONPATH=/root/.axon_site:. python scripts/calibrated_ops.py
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+N = 2**20
+N_GSF = 2**18
+CALLS = 25
+
+
+def measure(fn, parts, rng):
+    float(fn(parts, jnp.float32(rng.standard_normal())))  # compile+warm
+    times = []
+    for _ in range(CALLS):
+        eps = jnp.float32(rng.standard_normal())
+        t0 = time.perf_counter()
+        float(fn(parts, eps))
+        times.append((time.perf_counter() - t0) * 1e3)
+    p10, med, p90 = np.percentile(times, [10, 50, 90])
+    return dict(median_ms=round(float(med), 3), p10_ms=round(float(p10), 3),
+                p90_ms=round(float(p90), 3))
+
+
+def main():
+    from results._filter_bench import rig_dists
+    from gpu_se_tpu.filters import particle as pf_core, gs_ukf
+    from gpu_se_tpu.filters import resampling
+    from gpu_se_tpu.filters.resampling import (
+        sorted_row_gather, systematic_resample_indices,
+    )
+    from gpu_se_tpu.models import bioreactor as bio
+
+    print(f"platform={jax.devices()[0].platform}", flush=True)
+    x_ss, x0, state_pdf, meas_pdf = rig_dists()
+    f = bio.Bioreactor.homeostatic_DEs
+    g = bio.Bioreactor.static_outputs
+    u = jnp.array([0.06, 0.2])
+    z = jnp.asarray(bio.static_outputs(x_ss, np.asarray(u), xp=np), jnp.float32)
+
+    seed = int(time.time() * 1000) % (2**31)
+    rng = np.random.default_rng(seed)
+    parts = jnp.asarray(rng.standard_normal((N, 5)), jnp.float32)
+    jax.block_until_ready(parts)
+
+    def prep(p_, eps):
+        p = p_ + eps * 1e-9
+        w = jnp.exp(4.0 * jnp.tanh(p[:, 0]) ** 2)
+        r = jnp.abs(eps) % 1.0
+        return p, w, r
+
+    @jax.jit
+    def t_null(p_, eps):
+        p, w, r = prep(p_, eps)
+        return jnp.sum(p[0]) + jnp.sum(w, dtype=jnp.float32) * r
+
+    @jax.jit
+    def t_pred_upd(p_, eps):
+        p, w, r = prep(p_, eps)
+        key = jax.random.PRNGKey(jnp.abs(eps * 1e6).astype(jnp.int32))
+        st = pf_core.PFState(particles=p, weights=w / jnp.sum(w), key=key)
+        st = pf_core.predict(st, u, jnp.float32(0.1), f, state_pdf)
+        st = pf_core.update(st, u, z, g, meas_pdf)
+        return jnp.sum(st.particles[0]) + jnp.sum(st.weights, dtype=jnp.float32)
+
+    @jax.jit
+    def t_idx(p_, eps):
+        p, w, r = prep(p_, eps)
+        idx = jax.lax.optimization_barrier(systematic_resample_indices(w, r))
+        return jnp.sum(idx.astype(jnp.float32)) + p[0, 0]
+
+    @jax.jit
+    def t_xla_full(p_, eps):
+        p, w, r = prep(p_, eps)
+        idx = jax.lax.optimization_barrier(systematic_resample_indices(w, r))
+        out = sorted_row_gather(p, idx)
+        return jnp.sum(out, dtype=jnp.float32) + jnp.sum(idx.astype(jnp.float32))
+
+    def make_resample(impl_name, **kw):
+        if impl_name == "v1":
+            from gpu_se_tpu.ops.resample_pallas import pallas_systematic_resample
+
+            fn = lambda p, w, r: pallas_systematic_resample(p, w, r, 128, 256)
+        else:
+            from gpu_se_tpu.ops.resample_pallas_block import (
+                pallas_systematic_resample_ends,
+            )
+
+            fn = lambda p, w, r: pallas_systematic_resample_ends(p, w, r, **kw)
+
+        @jax.jit
+        def timed(p_, eps):
+            p, w, r = prep(p_, eps)
+            out, anc = fn(p, w, r)
+            return jnp.sum(out, dtype=jnp.float32) + jnp.sum(anc.astype(jnp.float32))
+        return timed
+
+    @jax.jit
+    def t_step(p_, eps):
+        p, w, r = prep(p_, eps)
+        key = jax.random.PRNGKey(jnp.abs(eps * 1e6).astype(jnp.int32))
+        st = pf_core.PFState(particles=p, weights=w / jnp.sum(w), key=key)
+        st = pf_core.step(st, u, z, jnp.float32(0.1), f, g, state_pdf, meas_pdf)
+        return jnp.sum(st.particles, dtype=jnp.float32)
+
+    # GSUKF step at 2^18 (fresh-perturbed means, fixed covs)
+    means0 = jnp.asarray(rng.standard_normal((N_GSF, 5)) * 0.01 + x_ss, jnp.float32)
+    covs0 = jnp.broadcast_to(jnp.eye(5, dtype=jnp.float32) * 1e-4, (N_GSF, 5, 5))
+    jax.block_until_ready(means0)
+
+    @jax.jit
+    def t_gsf_null(m_, eps):
+        m = m_ + eps * 1e-9
+        return jnp.sum(m[0]) * (jnp.abs(eps) % 1.0)
+
+    @jax.jit
+    def t_gsf_step(m_, eps):
+        m = m_ + eps * 1e-9
+        key = jax.random.PRNGKey(jnp.abs(eps * 1e6).astype(jnp.int32))
+        st = gs_ukf.GSUKFState(
+            means=m, covariances=covs0,
+            weights=jnp.full((N_GSF,), 1.0 / N_GSF, jnp.float32), key=key,
+        )
+        st = gs_ukf.step(st, u, z, jnp.float32(0.1), f, g, state_pdf, meas_pdf)
+        return jnp.sum(st.means, dtype=jnp.float32) + jnp.sum(st.weights)
+
+    out = {
+        "method": "fresh on-device inputs per call; in-jit scalar reduce "
+                  "fetched with float(); net = median - null median; "
+                  f"{CALLS} calls; seed from wall clock ({seed})",
+        "hardware": "1x TPU v5e via dev relay",
+        "n": N,
+        "n_gsf": N_GSF,
+        "ops": {},
+    }
+
+    null = measure(t_null, parts, rng)
+    out["ops"]["null_sync_rtt"] = null
+    print("null", null, flush=True)
+
+    entries = [
+        ("pf_predict_update_2e20", t_pred_upd),
+        ("resample_indices_scatter_cummax_2e20", t_idx),
+        ("resample_xla_full_2e20", t_xla_full),
+        ("resample_pallas_v1_128_256_2e20", make_resample("v1")),
+        ("resample_ends_256_256_2e20",
+         make_resample("ends", block_slots=256, window=256)),
+        ("pf_full_step_2e20", t_step),
+    ]
+    for name, fn in entries:
+        m = measure(fn, parts, rng)
+        m["net_ms"] = round(m["median_ms"] - null["median_ms"], 3)
+        out["ops"][name] = m
+        print(name, m, flush=True)
+
+    gnull = measure(t_gsf_null, means0, rng)
+    out["ops"]["gsf_null_sync_rtt"] = gnull
+    m = measure(t_gsf_step, means0, rng)
+    m["net_ms"] = round(m["median_ms"] - gnull["median_ms"], 3)
+    out["ops"]["gsf_full_step_2e18"] = m
+    print("gsf_full_step_2e18", m, flush=True)
+
+    # convenience aliases for downstream artifacts
+    out["pf_full_step_2e20"] = {"device_ms": out["ops"]["pf_full_step_2e20"]["net_ms"]}
+    out["gsf_full_step_2e18"] = {"device_ms": out["ops"]["gsf_full_step_2e18"]["net_ms"]}
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "results", "artifacts", "CALIBRATED_OPS.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print("->", path)
+
+
+if __name__ == "__main__":
+    main()
