@@ -278,33 +278,48 @@ class GaussianSumUnscentedKalmanFilter:
         self._step = jax.jit(_full_step)
         self._point_estimate = jax.jit(point_estimate)
         self._point_covariance = jax.jit(point_covariance)
+        self._moments = jax.jit(
+            lambda s: (point_estimate(s), point_covariance(s))
+        )
+        self._moments_cache = None
+
+    def _set_state(self, state):
+        self.state = state
+        self._moments_cache = None
 
     def predict(self, u, dt):
-        self.state = self._predict(
+        self._set_state(self._predict(
             self.state, jnp.asarray(u), jnp.asarray(dt, jnp.float32),
             state_pdf=self.state_pdf,
-        )
+        ))
 
     def update(self, u, z):
-        self.state = self._update(
+        self._set_state(self._update(
             self.state, jnp.asarray(u), jnp.asarray(z),
             measurement_pdf=self.measurement_pdf,
-        )
+        ))
 
     def resample(self):
-        self.state = self._resample(self.state)
+        self._set_state(self._resample(self.state))
 
     def step(self, u, z, dt):
-        self.state = self._step(
+        self._set_state(self._step(
             self.state, jnp.asarray(u), jnp.asarray(z), jnp.asarray(dt, jnp.float32),
             state_pdf=self.state_pdf, measurement_pdf=self.measurement_pdf,
-        )
+        ))
 
     def point_estimate(self):
         return self._point_estimate(self.state)
 
     def point_covariance(self):
         return self._point_covariance(self.state)
+
+    def moments(self):
+        """(point_estimate, point_covariance) in one fused dispatch,
+        cached until the state changes (see ParticleFilter.moments)."""
+        if self._moments_cache is None:
+            self._moments_cache = self._moments(self.state)
+        return self._moments_cache
 
     @property
     def means(self):

@@ -202,7 +202,7 @@ class Simulation:
                 self.f.resample()
                 self.update_count += 1
 
-                self.xs_f.append(np.asarray(self.f.point_estimate(), dtype=float))
+                self.xs_f.append(np.asarray(self.f.moments()[0], dtype=float))
                 try:
                     u = self.K.step(
                         self.lin_model.xn2d(self.xs_f[-1]),
@@ -228,17 +228,22 @@ class Simulation:
             outputs[self.lin_model.outputs] += self._meas_noise[step_i]
             self.ys_meas.append(outputs)
             self.xs.append(self.bioreactor.X.copy())
+            # moments() is one fused dispatch, cached between filter
+            # updates — the per-substep estimate/covariance reads are
+            # value-identical to point_estimate()/point_covariance() but
+            # cost zero relay round trips when the state hasn't changed
+            est, cov = self.f.moments()
             self.ys_f.append(
                 np.asarray(
                     models.static_outputs(
-                        np.asarray(self.f.point_estimate(), dtype=float),
+                        np.asarray(est, dtype=float),
                         self.us[-1],
                         xp=np,
                     ),
                     dtype=float,
                 )
             )
-            self.covariance_point_size.append(float(self.f.point_covariance()))
+            self.covariance_point_size.append(float(cov))
 
         self.us = np.array(self.us)
         self.xs = np.array(self.xs)
