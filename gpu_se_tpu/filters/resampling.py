@@ -132,16 +132,22 @@ def _kernel_applicable(pytree, n: int) -> bool:
     leaves = jax.tree_util.tree_leaves(pytree)
     if not leaves:
         return False
-    # the kernel runs on the first leaf (must be (N, <=8)); remaining
-    # leaves reuse its ancestor vector through the sorted row gather
-    first = leaves[0]
-    if first.ndim != 2 or first.shape[1] > 8:
-        return False
     if n % max(_KERNEL_BLOCK, 256) != 0 or n < 2 ** 12:
         return False
     if _IMPL == "xla":
         return False
-    if _IMPL in ("pallas", "interpret", "ends", "ends_interpret"):
+    if _IMPL in ("ends", "ends_interpret"):
+        # the ends kernel packs any pytree of (N, ...) rows into a
+        # (N, <=32) payload — covers the GSUKF (means, covariances) bank
+        from gpu_se_tpu.ops.resample_pallas_block import packable_cols
+
+        return packable_cols(pytree) > 0
+    # v1 kernel runs on the first leaf (must be (N, <=8)); remaining
+    # leaves reuse its ancestor vector through the sorted row gather
+    first = leaves[0]
+    if first.ndim != 2 or first.shape[1] > 8:
+        return False
+    if _IMPL in ("pallas", "interpret"):
         return True
     return jax.default_backend() == "tpu"
 
@@ -163,29 +169,35 @@ def systematic_resample(pytree, weights: jax.Array, key: jax.Array):
     r = jax.random.uniform(key, ())
 
     if _kernel_applicable(pytree, n):
-        leaves, treedef = jax.tree_util.tree_flatten(pytree)
         if _IMPL in ("ends", "ends_interpret"):
             # integer-ends merge kernel: bitwise-equal to the XLA path
-            # by construction (ops/resample_pallas_block.py)
+            # by construction (ops/resample_pallas_block.py); the whole
+            # pytree rides as one packed payload
             from gpu_se_tpu.ops.resample_pallas_block import (
+                pack_rows,
                 pallas_systematic_resample_ends,
+                unpack_rows,
             )
 
+            packed, meta = pack_rows(pytree)
             out, anc = pallas_systematic_resample_ends(
-                leaves[0], weights, r,
+                packed, weights, r,
                 block_slots=_ENDS_BLOCK, window=_ENDS_WINDOW,
                 interpret=(_IMPL == "ends_interpret"),
             )
-        else:
-            from gpu_se_tpu.ops.resample_pallas import (
-                pallas_systematic_resample,
-            )
+            gathered = unpack_rows(out, meta)
+            return gathered, jnp.full((n,), 1.0 / n, dtype=weights.dtype)
 
-            out, anc = pallas_systematic_resample(
-                leaves[0], weights, r,
-                block_slots=_KERNEL_BLOCK, window=_KERNEL_WINDOW,
-                interpret=(_IMPL == "interpret"),
-            )
+        leaves, treedef = jax.tree_util.tree_flatten(pytree)
+        from gpu_se_tpu.ops.resample_pallas import (
+            pallas_systematic_resample,
+        )
+
+        out, anc = pallas_systematic_resample(
+            leaves[0], weights, r,
+            block_slots=_KERNEL_BLOCK, window=_KERNEL_WINDOW,
+            interpret=(_IMPL == "interpret"),
+        )
         rest = [
             sorted_row_gather(leaf, jax.lax.optimization_barrier(anc))
             for leaf in leaves[1:]

@@ -34,6 +34,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -41,6 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 def _kernel(slot0_ref, ends_hbm, parts_hbm, cnt_in, acc_in, fin_in,
             cnt_out, acc_out, fin_out,
             kbase_ref, ends_win, parts_win, sems, *, n_blk, n_pad, b, w, nx):
+    del nx  # payload width is carried by the block shapes
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -121,6 +123,13 @@ def _kernel(slot0_ref, ends_hbm, parts_hbm, cnt_in, acc_in, fin_in,
     kbase_ref[0] = fstart
 
 
+def _cols_pad(nx: int) -> int:
+    """Payload columns padded to the f32 sublane tile (8), max 32 — wide
+    enough for the GSUKF bank rows (5 means + 25 covariance entries)."""
+    assert nx <= 32, f"payload of {nx} columns exceeds the kernel's 32"
+    return ((nx + 7) // 8) * 8
+
+
 def pallas_block_resample_round(
     ends_block: jax.Array, parts_block: jax.Array, slot0,
     counts: jax.Array, acc: jax.Array, finalized: jax.Array,
@@ -154,7 +163,11 @@ def pallas_block_resample_round(
     ends_padded = jnp.concatenate(
         [ends_block.astype(jnp.int32), jnp.full((n_pad - n_blk,), big, jnp.int32)]
     ).reshape(1, n_pad)
-    parts_padded = jnp.zeros((8, n_pad), jnp.float32)
+    cols = _cols_pad(nx)
+    assert acc.shape[1] == cols, (
+        f"carried acc has {acc.shape[1]} columns, payload needs {cols}"
+    )
+    parts_padded = jnp.zeros((cols, n_pad), jnp.float32)
     parts_padded = parts_padded.at[:nx, :n_blk].set(
         parts_block.astype(jnp.float32).T
     )
@@ -170,23 +183,23 @@ def pallas_block_resample_round(
             pl.BlockSpec(memory_space=pltpu.HBM),  # ends
             pl.BlockSpec(memory_space=pltpu.HBM),  # particles
             pl.BlockSpec((b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, cols), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, cols), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_local, 1), jnp.int32),
-            jax.ShapeDtypeStruct((n_local, 8), jnp.float32),
+            jax.ShapeDtypeStruct((n_local, cols), jnp.float32),
             jax.ShapeDtypeStruct((n_local, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.SMEM((1,), jnp.int32),  # carry: resume window start
             pltpu.VMEM((1, w), jnp.int32),  # ends window
-            pltpu.VMEM((8, w), jnp.float32),  # particle window (transposed)
+            pltpu.VMEM((cols, w), jnp.float32),  # payload window (transposed)
             pltpu.SemaphoreType.DMA((2,)),
         ],
         input_output_aliases={3: 0, 4: 1, 5: 2},
@@ -198,11 +211,11 @@ def pallas_block_resample_round(
     return cnt, acc_o, fin
 
 
-def block_resample_state(n_local: int):
+def block_resample_state(n_local: int, nx: int = 8):
     """Fresh carried state for :func:`pallas_block_resample_round`."""
     return (
         jnp.zeros((n_local, 1), jnp.int32),
-        jnp.zeros((n_local, 8), jnp.float32),
+        jnp.zeros((n_local, _cols_pad(nx)), jnp.float32),
         jnp.zeros((n_local, 1), jnp.float32),
     )
 
@@ -332,7 +345,11 @@ def pallas_block_resample_round_pipelined(
         [ends_block.astype(jnp.int32),
          jnp.full((n_alloc - n_blk,), big, jnp.int32)]
     ).reshape(1, n_alloc)
-    parts_padded = jnp.zeros((8, n_alloc), jnp.float32)
+    cols = _cols_pad(nx)
+    assert acc.shape[1] == cols, (
+        f"carried acc has {acc.shape[1]} columns, payload needs {cols}"
+    )
+    parts_padded = jnp.zeros((cols, n_alloc), jnp.float32)
     parts_padded = parts_padded.at[:nx, :n_blk].set(
         parts_block.astype(jnp.float32).T
     )
@@ -349,24 +366,24 @@ def pallas_block_resample_round_pipelined(
             pl.BlockSpec(memory_space=pltpu.HBM),  # ends
             pl.BlockSpec(memory_space=pltpu.HBM),  # particles
             pl.BlockSpec((b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, cols), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, cols), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_local, 1), jnp.int32),
-            jax.ShapeDtypeStruct((n_local, 8), jnp.float32),
+            jax.ShapeDtypeStruct((n_local, cols), jnp.float32),
             jax.ShapeDtypeStruct((n_local, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.SMEM((1,), jnp.int32),  # carry: resident window start
             pltpu.SMEM((1,), jnp.int32),  # carry: resident buffer slot
             pltpu.VMEM((2, 1, w), jnp.int32),  # ends windows (2 slots)
-            pltpu.VMEM((2, 8, w), jnp.float32),  # particle windows (2 slots)
+            pltpu.VMEM((2, cols, w), jnp.float32),  # payload windows (2 slots)
             pltpu.SemaphoreType.DMA((2, 2)),  # [slot, {ends, parts}]
         ],
         input_output_aliases={3: 0, 4: 1, 5: 2},
@@ -400,7 +417,7 @@ def pallas_systematic_resample_ends(
     ends = jax.lax.cummax(ends)
     ends = jnp.clip(ends, -1, n - 1)
 
-    counts, acc, fin = block_resample_state(n)
+    counts, acc, fin = block_resample_state(n, nx)
     if pipelined:
         counts, acc, fin = pallas_block_resample_round_pipelined(
             ends, particles, 0, counts, acc, fin,
@@ -414,3 +431,45 @@ def pallas_systematic_resample_ends(
         )
     anc = jnp.clip(counts[:, 0], 0, n - 1)
     return acc[:, :nx].astype(particles.dtype), anc
+
+
+# ----------------------------------------------------------------------
+# Row packing: resample any pytree of (N, ...) float arrays through the
+# kernel by concatenating flattened rows into one (N, cols<=32) payload
+# (the GSUKF bank packs means (N,5) + covariances (N,5,5) into 30 cols,
+# mirroring the reference's duplicated kernels over both arrays,
+# /root/reference/filter/gs_ukf.py:409-436).
+# ----------------------------------------------------------------------
+def packable_cols(pytree) -> int:
+    """Total payload columns if packable, else 0 (non-2D+/too wide)."""
+    leaves = jax.tree_util.tree_leaves(pytree)
+    if not leaves:
+        return 0
+    n = leaves[0].shape[0]
+    total = 0
+    for leaf in leaves:
+        if leaf.ndim < 2 or leaf.shape[0] != n:
+            return 0
+        total += int(np.prod(leaf.shape[1:]))
+    return total if total <= 32 else 0
+
+
+def pack_rows(pytree):
+    leaves, treedef = jax.tree_util.tree_flatten(pytree)
+    n = leaves[0].shape[0]
+    mats = [leaf.reshape(n, -1).astype(jnp.float32) for leaf in leaves]
+    meta = (treedef, [leaf.shape for leaf in leaves],
+            [leaf.dtype for leaf in leaves])
+    return jnp.concatenate(mats, axis=1) if len(mats) > 1 else mats[0], meta
+
+
+def unpack_rows(packed, meta):
+    treedef, shapes, dtypes = meta
+    out, col = [], 0
+    for shape, dtype in zip(shapes, dtypes):
+        width = int(np.prod(shape[1:]))
+        out.append(
+            packed[:, col:col + width].reshape(shape).astype(dtype)
+        )
+        col += width
+    return jax.tree_util.tree_unflatten(treedef, out)

@@ -248,7 +248,7 @@ def _ring_gather(pytree, ancestors, axis: str):
 
 
 def _distributed_systematic_resample_kernel(
-    particles, weights, r, axis: str, *,
+    pytree, weights, r, axis: str, *,
     block_slots: int = 128, window: int = 256, interpret: bool = False,
 ):
     """Sharded systematic resample whose per-shard search+gather runs the
@@ -260,7 +260,9 @@ def _distributed_systematic_resample_kernel(
     Identical semantics to :func:`_distributed_systematic_resample`: the
     kernel consumes the same width-invariant integer ``ends`` blocks, so
     ancestors and rows are bitwise-equal to the XLA ring by construction
-    (integer compares, exact one-hot gather). Blocks are visited in
+    (integer compares, exact one-hot gather). Any pytree of (n_local,
+    ...) rows packs into one (n_local, <=32) payload (the GSUKF bank =
+    30 columns). Blocks are visited in
     ascending global order via a psum-masked broadcast (the merge is
     order-sensitive, unlike the ring's order-free scatter), with two
     data-dependent skips: a block wholly below this shard's slot range
@@ -269,9 +271,12 @@ def _distributed_systematic_resample_kernel(
     """
     from gpu_se_tpu.ops.resample_pallas_block import (
         block_resample_state,
+        pack_rows,
         pallas_block_resample_round,
+        unpack_rows,
     )
 
+    particles, meta = pack_rows(pytree)
     n_local, nx = particles.shape
     s_idx = jax.lax.axis_index(axis)
     n_shards = jax.lax.axis_size(axis)
@@ -279,7 +284,7 @@ def _distributed_systematic_resample_kernel(
     slot0 = s_idx * n_local
 
     ends, _prev = _segmented_ends(weights, r, axis)
-    counts, acc, fin = block_resample_state(n_local)
+    counts, acc, fin = block_resample_state(n_local, nx)
 
     def round_body(q, carry):
         counts, acc, fin = carry
@@ -314,9 +319,9 @@ def _distributed_systematic_resample_kernel(
     counts, acc, fin = jax.lax.fori_loop(
         0, n_shards, round_body, (counts, acc, fin)
     )
-    new_particles = acc[:, :nx].astype(particles.dtype)
+    new_tree = unpack_rows(acc[:, :nx], meta)
     new_weights = jnp.full((n_local,), 1.0 / n_global, dtype=weights.dtype)
-    return new_particles, new_weights
+    return new_tree, new_weights
 
 
 def _distributed_systematic_resample(pytree, weights, r, axis: str):
@@ -456,7 +461,8 @@ def make_auto_sharded_gsukf_step(mesh: Mesh, f: Callable, g: Callable):
 
 
 def make_shard_map_gsukf_step(mesh: Mesh, f: Callable, g: Callable,
-                              axis: str = PARTICLE_AXIS):
+                              axis: str = PARTICLE_AXIS,
+                              resample_impl: str = "xla"):
     """Explicit shard_map GSUKF step: per-shard sigma-point predict/update
     (gs_ukf.predict_core/update_core) + distributed systematic resample of
     the (means, covariances) bank — the hand-scheduled analogue of the
@@ -489,9 +495,15 @@ def make_shard_map_gsukf_step(mesh: Mesh, f: Callable, g: Callable,
             means, covs, weights = gs_ukf.update_core(
                 means, covs, weights, u, z, g, measurement_pdf
             )
-            (means, covs), weights = _distributed_systematic_resample(
-                (means, covs), weights, r, axis
-            )
+            if resample_impl == "xla":
+                (means, covs), weights = _distributed_systematic_resample(
+                    (means, covs), weights, r, axis
+                )
+            else:
+                (means, covs), weights = _distributed_systematic_resample_kernel(
+                    (means, covs), weights, r, axis,
+                    interpret=(resample_impl == "kernel_interpret"),
+                )
             return means, covs, weights
 
         means, covs, weights = sharded(

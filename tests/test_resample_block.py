@@ -233,3 +233,71 @@ def test_pipelined_round_matches_sync_round_multiblock():
                                       err_msg=name)
         np.testing.assert_array_equal(np.asarray(acc[:, :5]),
                                       np.asarray(out_x), err_msg=name)
+
+
+def test_gsukf_packed_payload_single_chip():
+    """The ends kernel resamples the packed (means, covariances) bank —
+    impl('ends_interpret') == impl('xla') bitwise on a GSUKF pytree."""
+    from gpu_se_tpu.filters import resampling
+
+    n = 2 ** 12
+    key = jax.random.PRNGKey(21)
+    means = jax.random.normal(key, (n, 5), jnp.float32)
+    covs = jax.random.normal(jax.random.PRNGKey(22), (n, 5, 5), jnp.float32)
+    w = jnp.exp(5.0 * jnp.tanh(means[:, 0]) ** 2)
+    kr = jax.random.PRNGKey(23)
+
+    with resampling.impl("xla"):
+        (rm, rc), rw = resampling.systematic_resample((means, covs), w, kr)
+    with resampling.impl("ends_interpret"):
+        (om, oc), ow = resampling.systematic_resample((means, covs), w, kr)
+    np.testing.assert_array_equal(np.asarray(om), np.asarray(rm))
+    np.testing.assert_array_equal(np.asarray(oc), np.asarray(rc))
+    np.testing.assert_array_equal(np.asarray(ow), np.asarray(rw))
+
+
+def test_gsukf_sharded_kernel_matches_xla_ring():
+    """make_shard_map_gsukf_step(resample_impl='kernel_interpret') ==
+    'xla' bitwise through the full sharded GSUKF step at width 8."""
+    from gpu_se_tpu.distributions import GaussianSum
+    from gpu_se_tpu.filters import gs_ukf
+    from gpu_se_tpu.models import bioreactor as bio
+    from gpu_se_tpu.parallel import make_shard_map_gsukf_step, shard_gsukf_state
+
+    n = 2 ** 10
+    x_ss = np.array([280 / 180, 640 / 24.6, 1000 / 116, 0.0, 0.0])
+    x0 = GaussianSum.create(
+        np.stack([x_ss, x_ss]),
+        np.stack([np.eye(5) * 1e-4, np.eye(5) * 1e-3]),
+        np.array([0.75, 0.25]),
+    )
+    state_pdf = GaussianSum.create(
+        np.zeros((2, 5)),
+        np.stack([
+            np.diag([1e-4, 1e-7, 1e-3, 1e-3, 1e-7]),
+            np.diag([1e-3, 1e-6, 1e-2, 1e-2, 1e-6]),
+        ]),
+        np.array([0.75, 0.25]),
+    )
+    meas_pdf = GaussianSum.create(
+        np.array([[1e-1, 0], [0, -1e-1]]),
+        np.array([[[6e-2, 0], [0, 8e-2]], [[500, 100], [100, 700]]]),
+        np.array([0.85, 0.15]),
+    )
+    f = bio.Bioreactor.homeostatic_DEs
+    g = bio.Bioreactor.static_outputs
+    u = jnp.array([0.06, 0.2])
+    z = jnp.asarray(bio.static_outputs(x_ss, np.asarray(u), xp=np), jnp.float32)
+    state = gs_ukf.init(jax.random.PRNGKey(6), n, x0, state_pdf)
+
+    mesh = make_mesh(8)
+    outs = []
+    for impl in ("xla", "kernel_interpret"):
+        step = make_shard_map_gsukf_step(mesh, f, g, resample_impl=impl)
+        out = step(
+            shard_gsukf_state(state, mesh), u, z, jnp.float32(0.1),
+            state_pdf, meas_pdf,
+        )
+        outs.append((np.asarray(out.means), np.asarray(out.covariances)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
