@@ -110,6 +110,71 @@ def build(outdir=None):
         return build_fallback(outdir)
 
 
+def _tex_escape(s):
+    for a, b in [("\\", r"\textbackslash{}"), ("&", r"\&"), ("%", r"\%"),
+                 ("$", r"\$"), ("#", r"\#"), ("_", r"\_"), ("{", r"\{"),
+                 ("}", r"\}"), ("~", r"\textasciitilde{}"),
+                 ("^", r"\textasciicircum{}")]:
+        s = s.replace(a, b)
+    return s
+
+
+def render_module_tex(modname):
+    """LaTeX rendering of one module (verbatim docstrings + sections)."""
+    mod = importlib.import_module(modname)
+    parts = [f"\\section{{{_tex_escape(modname)}}}"]
+    if mod.__doc__:
+        parts.append("\\begin{verbatim}\n"
+                     + inspect.cleandoc(mod.__doc__)
+                     + "\n\\end{verbatim}")
+    for name, obj in inspect.getmembers(mod):
+        if name.startswith("_"):
+            continue
+        if getattr(obj, "__module__", None) != modname:
+            continue
+        if not (inspect.isclass(obj) or inspect.isfunction(obj)):
+            continue
+        try:
+            sig = str(inspect.signature(obj))
+        except (TypeError, ValueError):
+            sig = ""
+        parts.append(f"\\subsection{{{_tex_escape(name + sig)}}}")
+        doc = inspect.getdoc(obj) or ""
+        if doc:
+            parts.append("\\begin{verbatim}\n" + doc + "\n\\end{verbatim}")
+    return "\n".join(parts)
+
+
+def build_latex(outdir=None):
+    """LaTeX target: the reference's docs compile to the thesis PDF
+    appendix (/root/reference/docs/conf.py); this emits the equivalent
+    gpu_se_tpu.tex (sphinx -b latex when available, else the fallback
+    renderer). Returns the .tex path."""
+    outdir = outdir or os.path.join(DOCS, "_build", "latex")
+    os.makedirs(outdir, exist_ok=True)
+    try:
+        import sphinx  # noqa: F401
+
+        subprocess.check_call(
+            [sys.executable, "-m", "sphinx", "-b", "latex", DOCS, outdir]
+        )
+        return os.path.join(outdir, "gpu_se_tpu.tex")
+    except ImportError:
+        pass
+    tex = [
+        "\\documentclass{report}",
+        "\\title{gpu\\_se\\_tpu API reference}",
+        "\\begin{document}\\maketitle\\tableofcontents",
+    ]
+    for modname in automodules():
+        tex.append(render_module_tex(modname))
+    tex.append("\\end{document}")
+    path = os.path.join(outdir, "gpu_se_tpu.tex")
+    with open(path, "w") as fh:
+        fh.write("\n".join(tex))
+    return path
+
+
 if __name__ == "__main__":
     mods = build(sys.argv[1] if len(sys.argv) > 1 else None)
     print(f"documented {len(mods)} modules")

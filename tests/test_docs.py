@@ -36,3 +36,19 @@ def test_api_rst_covers_every_public_module():
         public.add(mod)
     missing = public - documented
     assert not missing, f"modules missing from docs/api.rst: {sorted(missing)}"
+
+
+def test_latex_build(tmp_path):
+    """LaTeX parity with the reference docs target (the reference's
+    Sphinx config compiles to the thesis PDF appendix,
+    /root/reference/docs/conf.py): build_latex emits a complete .tex
+    with a section per documented module."""
+    import build as docs_build
+
+    tex_path = docs_build.build_latex(str(tmp_path / "latex"))
+    assert os.path.exists(tex_path)
+    tex = open(tex_path).read()
+    assert tex.strip().startswith("\\documentclass")
+    assert tex.strip().endswith("\\end{document}")
+    for modname in docs_build.automodules():
+        assert modname.split(".")[-1].replace("_", "\\_") in tex, modname
