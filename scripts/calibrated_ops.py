@@ -160,8 +160,22 @@ def main():
     out["ops"]["null_sync_rtt"] = null
     print("null", null, flush=True)
 
+    # rbg-PRNG leg: the predict's threefry normals are suspected to be a
+    # large share of the 1.4 ms predict+update; the hardware RBG generator
+    # is the cheap alternative (production default stays threefry for
+    # partitionable shard-invariance)
+    @jax.jit
+    def t_pred_upd_rbg(p_, eps):
+        p, w, r = prep(p_, eps)
+        key = jax.random.key(jnp.abs(eps * 1e6).astype(jnp.int32), impl="rbg")
+        st = pf_core.PFState(particles=p, weights=w / jnp.sum(w), key=key)
+        st = pf_core.predict(st, u, jnp.float32(0.1), f, state_pdf)
+        st = pf_core.update(st, u, z, g, meas_pdf)
+        return jnp.sum(st.particles[0]) + jnp.sum(st.weights, dtype=jnp.float32)
+
     entries = [
         ("pf_predict_update_2e20", t_pred_upd),
+        ("pf_predict_update_rbg_2e20", t_pred_upd_rbg),
         ("resample_indices_scatter_cummax_2e20", t_idx),
         ("resample_xla_full_2e20", t_xla_full),
         ("resample_pallas_v1_128_256_2e20", make_resample("v1")),
