@@ -395,3 +395,21 @@ def test_2e24_resample_width_invariance_and_memory(rig):
     del out4, parts4, w4
     np.testing.assert_array_equal(got8, got4)
     assert np.isfinite(got8).all()
+
+
+def test_non_power_of_two_mesh_width(rig):
+    """The ring protocol assumes nothing about the mesh width: width 3
+    (non-power-of-two, non-divisor of 8) agrees with width 1 bitwise
+    when shard sizes stay multiples of the 128-slot segment."""
+    n = 3 * 512
+    state = pf_core.init(jax.random.PRNGKey(11), n, rig["x0"])
+    results = []
+    for nd in (1, 3):
+        mesh = make_mesh(nd)
+        step = make_shard_map_step(mesh, rig["f"], rig["g"])
+        out = step(
+            shard_pf_state(state, mesh), rig["u"], rig["z"], jnp.float32(0.1),
+            rig["state_pdf"], rig["meas_pdf"],
+        )
+        results.append(np.asarray(out.particles))
+    np.testing.assert_array_equal(results[0], results[1])
