@@ -274,9 +274,9 @@ def _kernel_pipelined(slot0_ref, ends_hbm, parts_hbm, cnt_in, acc_in, fin_in,
             * jnp.where(c_in < real_w, 1.0, 0.0)
             * open_mask
         )
-        # one-hot gather: HIGH (bf16x3) is exact for 0/1 x f32 products
-        # (3x8-bit mantissa slices reconstruct the f32 operand) at half
-        # the MXU passes of HIGHEST; exactness is pinned in tests
+        # one-hot gather: HIGHEST keeps the 0/1 x f32 products exact
+        # (Mosaic lowers only DEFAULT and HIGHEST; DEFAULT is bf16 and
+        # truncates the payload). Exactness is pinned in tests.
         acc = acc + jax.lax.dot_general(
             hits, parts_win[cur],
             dimension_numbers=(((1,), (1,)), ((), ())),

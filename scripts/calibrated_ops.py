@@ -181,6 +181,14 @@ def main():
         ("resample_pallas_v1_128_256_2e20", make_resample("v1")),
         ("resample_ends_256_256_2e20",
          make_resample("ends", block_slots=256, window=256)),
+        ("resample_ends_512_256_2e20",
+         make_resample("ends", block_slots=512, window=256)),
+        ("resample_ends_256_512_2e20",
+         make_resample("ends", block_slots=256, window=512)),
+        ("resample_ends_512_512_2e20",
+         make_resample("ends", block_slots=512, window=512)),
+        ("resample_ends_1024_256_2e20",
+         make_resample("ends", block_slots=1024, window=256)),
         ("pf_full_step_2e20", t_step),
     ]
     for name, fn in entries:
