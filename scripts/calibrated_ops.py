@@ -179,16 +179,12 @@ def main():
         ("resample_indices_scatter_cummax_2e20", t_idx),
         ("resample_xla_full_2e20", t_xla_full),
         ("resample_pallas_v1_128_256_2e20", make_resample("v1")),
+        # ends-kernel geometry sweep (2026-08-20): 256/256 13.7, 512/256
+        # 19.1, 256/512 17.2, 512/512 19.2, 1024/256 19.2 ms — every
+        # geometry loses to v1/XLA (the per-window one-hot matmul work
+        # dominates); only the best is kept in the committed artifact
         ("resample_ends_256_256_2e20",
          make_resample("ends", block_slots=256, window=256)),
-        ("resample_ends_512_256_2e20",
-         make_resample("ends", block_slots=512, window=256)),
-        ("resample_ends_256_512_2e20",
-         make_resample("ends", block_slots=256, window=512)),
-        ("resample_ends_512_512_2e20",
-         make_resample("ends", block_slots=512, window=512)),
-        ("resample_ends_1024_256_2e20",
-         make_resample("ends", block_slots=1024, window=256)),
         ("pf_full_step_2e20", t_step),
     ]
     for name, fn in entries:
