@@ -95,43 +95,52 @@ def boundaries2(ends, n, b):
     return s + jnp.sum((win < qs[:, None]).astype(jnp.int32), axis=1)
 
 
-def _local_kernel(ew_ref, pw_ref, o_ref, out_ref, anc_ref, *, b, w):
+CPS = 8  # chunks per grid step (satisfies the (8, 128) block tiling)
+
+
+def _local_kernel(ew_ref, pw_ref, o_ref, out_ref, anc_ref, *, b, w, cps):
     i = pl.program_id(0)
-    slot = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0) + i * b
-    ew = ew_ref[0]  # (w,) int32 -> reshape to (1, w)
-    lt = (ew[None, :] < slot).astype(jnp.int32)  # (b, w)
-    cnt = jnp.sum(lt, axis=1, keepdims=True)  # (b, 1)
-    col = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
-    onehot = jnp.where(col == cnt, 1.0, 0.0)
-    out_ref[0] = jax.lax.dot_general(
-        onehot, pw_ref[0],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    anc_ref[0] = (cnt + o_ref[0])[:, 0]
+    for k in range(cps):  # static unroll over the sub-chunks
+        slot = (
+            jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)
+            + (i * cps + k) * b
+        )
+        ew = ew_ref[k]  # (w,) int32
+        lt = (ew[None, :] < slot).astype(jnp.int32)  # (b, w)
+        cnt = jnp.sum(lt, axis=1, keepdims=True)  # (b, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
+        onehot = jnp.where(col == cnt, 1.0, 0.0)
+        out_ref[k] = jax.lax.dot_general(
+            onehot, pw_ref[k],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        anc_ref[k] = (cnt + o_ref[k, 0])[:, 0]
 
 
 def local_gather_pallas(ew, pw, o, b, w, interpret=False):
     """ew (nch, w) int32, pw (nch, w, cols) f32, o (nch,) window starts
     -> (nch, b, cols) resampled rows + (nch, b) global ancestors."""
     nch, _, cols = pw.shape
-    kernel = functools.partial(_local_kernel, b=b, w=w)
+    cps = CPS
+    assert nch % cps == 0
+    kernel = functools.partial(_local_kernel, b=b, w=w, cps=cps)
     # transpose pw to (nch, cols, w) so the dot contracts the minor dim
     pwt = jnp.swapaxes(pw, 1, 2)
     out, anc = pl.pallas_call(
         kernel,
-        grid=(nch,),
+        grid=(nch // cps,),
         in_specs=[
-            pl.BlockSpec((1, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cols, w), lambda i: (i, 0, 0),
+            pl.BlockSpec((cps, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cps, cols, w), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((cps, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, b, cols), lambda i: (i, 0, 0),
+            pl.BlockSpec((cps, b, cols), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cps, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nch, b, cols), jnp.float32),
@@ -140,24 +149,6 @@ def local_gather_pallas(ew, pw, o, b, w, interpret=False):
         interpret=interpret,
     )(ew, pwt, o[:, None])
     return out, anc
-
-
-def _kernel_dot(ew_ref, pwt_ref, o_ref, out_ref, anc_ref, *, b, w):
-    # variant: contract over w as LHS columns directly (pwt is (cols, w))
-    i = pl.program_id(0)
-    slot = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0) + i * b
-    ew = ew_ref[0]
-    lt = (ew[None, :] < slot).astype(jnp.int32)
-    cnt = jnp.sum(lt, axis=1, keepdims=True)
-    col = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
-    onehot = jnp.where(col == cnt, 1.0, 0.0)
-    out_ref[0] = jax.lax.dot_general(
-        onehot, pwt_ref[0],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    anc_ref[0] = (cnt + o_ref[0])[:, 0]
 
 
 def v5_resample(p, ends, o, n, b, w, interpret=False):
