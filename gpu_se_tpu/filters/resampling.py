@@ -103,7 +103,8 @@ def sorted_row_gather(a: jax.Array, idx: jax.Array) -> jax.Array:
 # ~10.4 ms for scatter+cummax indices + row gather (calibrated
 # device-times, see CLAUDE.md). The XLA path remains the reference
 # semantics (and the only path on CPU / for multi-leaf pytrees).
-_IMPL = "auto"  # "auto" | "xla" | "pallas" | "interpret" | "ends" | "ends_interpret"
+_IMPL = "auto"  # "auto" | "xla" | "pallas" | "interpret" | "ends" |
+# "ends_interpret" | "coarse" | "coarse_interpret"
 _KERNEL_BLOCK = 128
 _KERNEL_WINDOW = 256
 # geometry for the ends-domain pipelined kernel (resample_pallas_block)
@@ -142,6 +143,10 @@ def _kernel_applicable(pytree, n: int) -> bool:
         from gpu_se_tpu.ops.resample_pallas_block import packable_cols
 
         return packable_cols(pytree) > 0
+    if _IMPL in ("coarse", "coarse_interpret"):
+        from gpu_se_tpu.ops.resample_coarse import coarse_applicable
+
+        return coarse_applicable(pytree, n)
     # v1 kernel runs on the first leaf (must be (N, <=8)); remaining
     # leaves reuse its ancestor vector through the sorted row gather
     first = leaves[0]
@@ -169,6 +174,22 @@ def systematic_resample(pytree, weights: jax.Array, key: jax.Array):
     r = jax.random.uniform(key, ())
 
     if _kernel_applicable(pytree, n):
+        if _IMPL in ("coarse", "coarse_interpret"):
+            # coarse-window kernel (ops/resample_coarse.py): bitwise-
+            # equal to the XLA path with a lax.cond fallback on
+            # degenerate weight concentrations. Opt-in: the k-chain
+            # slope measured it at 11.8 ms/step at 2^20 vs 9.3 for the
+            # v1 merge kernel (scripts/probe_v7.out).
+            from gpu_se_tpu.ops.resample_coarse import (
+                coarse_systematic_resample,
+            )
+
+            gathered, anc = coarse_systematic_resample(
+                pytree, weights, r,
+                interpret=(_IMPL == "coarse_interpret"),
+            )
+            return gathered, jnp.full((n,), 1.0 / n, dtype=weights.dtype)
+
         if _IMPL in ("ends", "ends_interpret"):
             # integer-ends merge kernel: bitwise-equal to the XLA path
             # by construction (ops/resample_pallas_block.py); the whole

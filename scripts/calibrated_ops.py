@@ -146,15 +146,35 @@ def main():
         st = gs_ukf.step(st, u, z, jnp.float32(0.1), f, g, state_pdf, meas_pdf)
         return jnp.sum(st.means, dtype=jnp.float32) + jnp.sum(st.weights)
 
-    out = {
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "results", "artifacts", "CALIBRATED_OPS.json")
+    stages = sys.argv[1:] or ["medians", "slopes"]
+    # resumable: the full run exceeds a single relay window; each stage
+    # merges into the existing JSON
+    if os.path.exists(path):
+        with open(path) as fh:
+            out = json.load(fh)
+        out.setdefault("ops", {})
+    else:
+        out = {"ops": {}}
+    out.update({
         "method": "fresh on-device inputs per call; in-jit scalar reduce "
                   "fetched with float(); net = median - null median; "
                   f"{CALLS} calls; seed from wall clock ({seed})",
         "hardware": "1x TPU v5e via dev relay",
         "n": N,
         "n_gsf": N_GSF,
-        "ops": {},
-    }
+    })
+
+    def save():
+        with open(path, "w") as fh:
+            json.dump(out, fh, indent=1)
+        print("->", path, flush=True)
+
+    if "medians" not in stages:
+        null = out["ops"]["null_sync_rtt"]
+        run_slopes(out, rng, save)
+        return
 
     null = measure(t_null, parts, rng)
     out["ops"]["null_sync_rtt"] = null
@@ -185,7 +205,9 @@ def main():
         # dominates); only the best is kept in the committed artifact
         ("resample_ends_256_256_2e20",
          make_resample("ends", block_slots=256, window=256)),
-        ("pf_full_step_2e20", t_step),
+        # NOTE: no pf_full_step median entry — three runs stalled >9 min
+        # on it right after the ends-kernel leg (transient relay wedge);
+        # the k-chain slope below is the step number of record anyway.
     ]
     for name, fn in entries:
         m = measure(fn, parts, rng)
@@ -200,15 +222,51 @@ def main():
     out["ops"]["gsf_full_step_2e18"] = m
     print("gsf_full_step_2e18", m, flush=True)
 
-    # convenience aliases for downstream artifacts
-    out["pf_full_step_2e20"] = {"device_ms": out["ops"]["pf_full_step_2e20"]["net_ms"]}
-    out["gsf_full_step_2e18"] = {"device_ms": out["ops"]["gsf_full_step_2e18"]["net_ms"]}
+    out["gsf_full_step_2e18"] = {
+        "device_ms": out["ops"]["gsf_full_step_2e18"]["net_ms"]}
+    save()
+    if "slopes" in stages:
+        run_slopes(out, rng, save)
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    path = os.path.join(root, "results", "artifacts", "CALIBRATED_OPS.json")
-    with open(path, "w") as fh:
-        json.dump(out, fh, indent=1)
-    print("->", path)
+
+def run_slopes(out, rng, save):
+    """k-chain slopes: the round-3 method of record for step-level
+    times. The isolated-call medians carry +-1.5 ms of relay wobble
+    between entries (see scripts/probe_v6*.out); timing in-jit chains
+    of k data-dependent steps and taking (T(9)-T(1))/8 cancels the
+    sync RTT and resolves sub-ms differences. probe_v7.out has the
+    cross-impl comparison this is distilled from (incl. the coarse
+    kernel at 11.78 ms/step, not re-measured here)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import probe_v7
+
+    rigt = probe_v7.rig()
+    p0 = jnp.asarray(
+        rigt[0].draw(jax.random.PRNGKey(rng.integers(2**31)), (probe_v7.N,)),
+        jnp.float32)
+    jax.block_until_ready(p0)
+    slopes = {}
+    for kind, label in [("nores", "pf_predict_update"),
+                        ("xla", "pf_step_resample_xla"),
+                        ("v1", "pf_step_resample_pallas_v1_default")]:
+        step = probe_v7.make_step(kind, rigt)
+        t_lo = probe_v7.measure(probe_v7.chain_fn(step, 1), p0, rng)
+        t_hi = probe_v7.measure(probe_v7.chain_fn(step, 9), p0, rng)
+        slopes[label] = round((t_hi - t_lo) / 8.0, 3)
+        print("slope", label, slopes[label], flush=True)
+    slopes["pf_step_resample_coarse"] = 11.783  # probe_v7.out, same method
+    out["step_slopes_ms_2e20"] = {
+        "method": "in-jit chain of k dependent full steps, "
+                  "(T(9)-T(1))/8, median of 15 calls each, fresh inputs; "
+                  "coarse-kernel entry carried from scripts/probe_v7.out",
+        **slopes,
+    }
+    # the slope of the production default is the honest device step time
+    out["pf_full_step_2e20"] = {
+        "device_ms": slopes["pf_step_resample_pallas_v1_default"],
+        "method": "k-chain slope",
+    }
+    save()
 
 
 if __name__ == "__main__":

@@ -60,6 +60,46 @@ def main():
     jax.block_until_ready(state.means)
     steps_per_s = REPS / (time.perf_counter() - t0)
 
+    # k-chain slope (round-3 method of record, CLAUDE.md): in-jit chain
+    # of k dependent steps, (T(9)-T(1))/8 cancels the sync RTT. The
+    # round-2 "1.8 ms calibrated" rested on 7 nets under 10% of the
+    # null RTT (ADVICE r2); this supersedes it.
+    m0 = jnp.asarray(state.means)
+
+    def chain(k):
+        @jax.jit
+        def run(m_, eps):
+            st = gs_ukf.GSUKFState(
+                means=m_ + eps * 1e-9,
+                covariances=jnp.broadcast_to(
+                    jnp.eye(5, dtype=jnp.float32) * 1e-4, (N, 5, 5)),
+                weights=jnp.full((N,), 1.0 / N, jnp.float32),
+                key=jax.random.PRNGKey(
+                    jnp.abs(eps * 1e6).astype(jnp.int32)),
+            )
+            for _ in range(k):
+                st = gs_ukf.step(st, u, z, jnp.float32(0.1), f, g,
+                                 state_pdf, meas_pdf)
+            return jnp.sum(st.means, dtype=jnp.float32)
+        return run
+
+    rng = np.random.default_rng(seed)
+
+    def measure(fn, calls=12):
+        float(fn(m0, jnp.float32(rng.standard_normal())))
+        ts = []
+        for _ in range(calls):
+            eps = jnp.float32(rng.standard_normal())
+            t0 = time.perf_counter()
+            float(fn(m0, eps))
+            ts.append((time.perf_counter() - t0) * 1e3)
+        return float(np.median(ts))
+
+    t_lo, t_hi = measure(chain(1)), measure(chain(9))
+    slope_ms = round((t_hi - t_lo) / 8.0, 3)
+    print(f"gsf slope: T(1)={t_lo:.2f} T(9)={t_hi:.2f} -> {slope_ms} "
+          f"ms/step", flush=True)
+
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = {
         "metric": f"gsukf_full_step_throughput_2^18_gaussians",
@@ -68,6 +108,9 @@ def main():
         "method": "chained loop, wall-clock seed, terminal block "
                   f"({REPS} reps); relay-RTT amortized via queue "
                   "backpressure (CLAUDE.md)",
+        "device_ms_slope": slope_ms,
+        "slope_method": "in-jit chain of k dependent steps, "
+                        "(T(9)-T(1))/8, median of 12 calls",
         "device_ms_calibrated": None,
         "reference_scale": "gsf_run_seq.py:483-497 exercises 2^0..2^18.5, "
                            "no published numbers",

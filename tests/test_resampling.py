@@ -200,3 +200,65 @@ def test_ends_impl_high_precision_gather_exact():
     )
     np.testing.assert_array_equal(np.asarray(anc), np.asarray(idx))
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_coarse_impl_path_matches_xla():
+    """impl('coarse_interpret') routes systematic_resample through the
+    coarse-window kernel (ops/resample_coarse.py); bitwise-equal to the
+    XLA path, including a multi-leaf pytree."""
+    from gpu_se_tpu.filters import resampling
+
+    n = 2 ** 13
+    key = jax.random.PRNGKey(21)
+    parts = jax.random.normal(key, (n, 5), jnp.float32)
+    extra = jax.random.normal(jax.random.PRNGKey(22), (n, 1), jnp.float32)
+    w = jnp.exp(5.0 * jnp.tanh(parts[:, 0]) ** 2)
+    kr = jax.random.PRNGKey(23)
+
+    with resampling.impl("xla"):
+        (rp, re), rw = resampling.systematic_resample((parts, extra), w, kr)
+    with resampling.impl("coarse_interpret"):
+        (op, oe), ow = resampling.systematic_resample((parts, extra), w, kr)
+    np.testing.assert_array_equal(np.asarray(op), np.asarray(rp))
+    np.testing.assert_array_equal(np.asarray(oe), np.asarray(re))
+    np.testing.assert_array_equal(np.asarray(ow), np.asarray(rw))
+
+
+def test_coarse_overflow_fallback_bitwise():
+    """Degenerate weight concentration overflows the coarse window; the
+    lax.cond fallback must stay bitwise-equal to the XLA path."""
+    from gpu_se_tpu.ops.resample_coarse import coarse_systematic_resample
+    from gpu_se_tpu.filters.resampling import (
+        sorted_row_gather, systematic_resample_indices,
+    )
+
+    n = 2 ** 13
+    parts = jax.random.normal(jax.random.PRNGKey(31), (n, 5), jnp.float32)
+    w = jnp.ones((n,), jnp.float32).at[37].set(1e7)
+    r = jnp.float32(0.42)
+    idx = systematic_resample_indices(w, r)
+    ref = sorted_row_gather(parts, idx)
+    out, anc = coarse_systematic_resample(parts, w, r, interpret=True)
+    np.testing.assert_array_equal(np.asarray(anc), np.asarray(idx))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_coarse_chunk_boundaries_match_searchsorted():
+    """The two-level dense-compare boundary computation equals
+    searchsorted on random and degenerate ends."""
+    from gpu_se_tpu.ops.resample_coarse import (
+        chunk_boundaries, ends_from_weights,
+    )
+
+    n, b = 2 ** 13, 128
+    for seed, weights in [
+        (0, jnp.exp(4 * jax.random.normal(jax.random.PRNGKey(0), (n,)))),
+        (1, jnp.ones((n,)).at[5].set(1e8)),
+        (2, jnp.ones((n,))),
+    ]:
+        e = ends_from_weights(weights.astype(jnp.float32), jnp.float32(0.3))
+        o = chunk_boundaries(e, n, b)
+        qs = jnp.arange(0, n + b, b, dtype=jnp.int32)
+        o_ref = jnp.searchsorted(e, qs, side="left").astype(jnp.int32)
+        np.testing.assert_array_equal(np.asarray(o), np.asarray(o_ref),
+                                      err_msg=f"seed {seed}")
