@@ -150,11 +150,24 @@ def _kernel_applicable(pytree, n: int) -> bool:
     # v1 kernel runs on the first leaf (must be (N, <=8)); remaining
     # leaves reuse its ancestor vector through the sorted row gather
     first = leaves[0]
-    if first.ndim != 2 or first.shape[1] > 8:
-        return False
+    first_ok = first.ndim == 2 and first.shape[1] <= 8
     if _IMPL in ("pallas", "interpret"):
-        return True
-    return jax.default_backend() == "tpu"
+        return first_ok
+    if jax.default_backend() != "tpu":
+        return False
+    return first_ok or _auto_ends(pytree)
+
+
+def _auto_ends(pytree) -> bool:
+    """auto-mode routing on TPU: multi-leaf banks (the GSUKF
+    means+covariances) go through the packed-payload ends kernel — one
+    fused pass beats v1-on-means + a sorted row gather for the (N,5,5)
+    covariances: 13.9 vs 15.5 ms/step at 2^18 by k-chain slope
+    (scripts/probe_gsf_slope.out)."""
+    from gpu_se_tpu.ops.resample_pallas_block import packable_cols
+
+    leaves = jax.tree_util.tree_leaves(pytree)
+    return len(leaves) > 1 and packable_cols(pytree) > 0
 
 
 def systematic_resample(pytree, weights: jax.Array, key: jax.Array):
@@ -190,7 +203,8 @@ def systematic_resample(pytree, weights: jax.Array, key: jax.Array):
             )
             return gathered, jnp.full((n,), 1.0 / n, dtype=weights.dtype)
 
-        if _IMPL in ("ends", "ends_interpret"):
+        if _IMPL in ("ends", "ends_interpret") or (
+                _IMPL == "auto" and _auto_ends(pytree)):
             # integer-ends merge kernel: bitwise-equal to the XLA path
             # by construction (ops/resample_pallas_block.py); the whole
             # pytree rides as one packed payload
