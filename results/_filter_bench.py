@@ -49,7 +49,18 @@ def rig_dists():
 def get_device(gpu: bool):
     """gpu=True -> default accelerator; gpu=False -> host CPU backend."""
     if gpu:
-        return jax.devices()[0]
+        dev = jax.devices()[0]
+        if dev.platform == "cpu":
+            import warnings
+
+            warnings.warn(
+                "accelerator leg requested but the default platform is "
+                "cpu — this run would produce CPU data under an "
+                "accelerator label (this silently corrupted figure legs "
+                "once; round 3). Label outputs by actual platform.",
+                RuntimeWarning, stacklevel=2,
+            )
+        return dev
     return jax.devices("cpu")[0]
 
 
