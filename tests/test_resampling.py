@@ -262,3 +262,26 @@ def test_coarse_chunk_boundaries_match_searchsorted():
         o_ref = jnp.searchsorted(e, qs, side="left").astype(jnp.int32)
         np.testing.assert_array_equal(np.asarray(o), np.asarray(o_ref),
                                       err_msg=f"seed {seed}")
+
+
+def test_auto_mode_routing_rules(monkeypatch):
+    """auto mode on TPU: multi-leaf packable banks route to the ends
+    kernel; single (N,<=8) leaves to v1; wide single leaves to XLA."""
+    from gpu_se_tpu.filters import resampling
+
+    n = 2 ** 13
+    means = jnp.zeros((n, 5), jnp.float32)
+    covs = jnp.zeros((n, 5, 5), jnp.float32)
+    wide = jnp.zeros((n, 40), jnp.float32)
+
+    assert resampling._auto_ends((means, covs))
+    assert not resampling._auto_ends(means)          # single leaf -> v1
+    assert not resampling._auto_ends((means, wide))  # 45 cols > 32
+
+    monkeypatch.setattr(resampling.jax, "default_backend", lambda: "tpu")
+    assert resampling._kernel_applicable((means, covs), n)
+    assert resampling._kernel_applicable(means, n)
+    assert not resampling._kernel_applicable(wide, n)
+
+    monkeypatch.setattr(resampling.jax, "default_backend", lambda: "cpu")
+    assert not resampling._kernel_applicable((means, covs), n)
