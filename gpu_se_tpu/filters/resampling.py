@@ -98,13 +98,14 @@ def sorted_row_gather(a: jax.Array, idx: jax.Array) -> jax.Array:
 
 
 # ----------------------------------------------------------------------
-# Implementation selection: on TPU the fused Pallas merge kernel
-# (ops/resample_pallas.py, B=128/W=256) measures ~5.6 ms at 2^20 vs
-# ~10.4 ms for scatter+cummax indices + row gather (calibrated
-# device-times, see CLAUDE.md). The XLA path remains the reference
-# semantics (and the only path on CPU / for multi-leaf pytrees).
-_IMPL = "auto"  # "auto" | "xla" | "pallas" | "interpret" | "ends" |
-# "ends_interpret" | "coarse" | "coarse_interpret"
+# Implementation selection, ranked by round-3 full-step k-chain slopes
+# at 2^20 (scripts/probe_v9.out, ms/step): v3 pipelined 128/256 8.91 <
+# v1 128/256 9.48 < XLA 12.6 — the DMA-pipelined merge kernel is the
+# TPU default for single-leaf payloads; multi-leaf banks (GSUKF) ride
+# the packed-payload ends kernel (probe_gsf_slope.out). The XLA path
+# remains the reference semantics (and the only path on CPU).
+_IMPL = "auto"  # "auto" | "xla" | "pallas" | "interpret" | "v3" |
+# "v3_interpret" | "ends" | "ends_interpret" | "coarse" | "coarse_interpret"
 _KERNEL_BLOCK = 128
 _KERNEL_WINDOW = 256
 # geometry for the ends-domain pipelined kernel (resample_pallas_block)
@@ -151,7 +152,7 @@ def _kernel_applicable(pytree, n: int) -> bool:
     # leaves reuse its ancestor vector through the sorted row gather
     first = leaves[0]
     first_ok = first.ndim == 2 and first.shape[1] <= 8
-    if _IMPL in ("pallas", "interpret"):
+    if _IMPL in ("pallas", "interpret", "v3", "v3_interpret"):
         return first_ok
     if jax.default_backend() != "tpu":
         return False
@@ -224,14 +225,22 @@ def systematic_resample(pytree, weights: jax.Array, key: jax.Array):
             return gathered, jnp.full((n,), 1.0 / n, dtype=weights.dtype)
 
         leaves, treedef = jax.tree_util.tree_flatten(pytree)
-        from gpu_se_tpu.ops.resample_pallas import (
-            pallas_systematic_resample,
-        )
+        if _IMPL in ("pallas", "interpret"):
+            # v1 synchronous merge kernel (explicit opt-in)
+            from gpu_se_tpu.ops.resample_pallas import (
+                pallas_systematic_resample as _kernel_fn,
+            )
+        else:
+            # auto / "v3": the DMA-pipelined merge kernel — 8.91 vs
+            # 9.48 ms/step at 2^20 (probe_v9.out)
+            from gpu_se_tpu.ops.resample_pallas3 import (
+                pallas_systematic_resample_pipelined as _kernel_fn,
+            )
 
-        out, anc = pallas_systematic_resample(
+        out, anc = _kernel_fn(
             leaves[0], weights, r,
             block_slots=_KERNEL_BLOCK, window=_KERNEL_WINDOW,
-            interpret=(_IMPL == "interpret"),
+            interpret=_IMPL.endswith("interpret"),
         )
         rest = [
             sorted_row_gather(leaf, jax.lax.optimization_barrier(anc))

@@ -285,3 +285,21 @@ def test_auto_mode_routing_rules(monkeypatch):
 
     monkeypatch.setattr(resampling.jax, "default_backend", lambda: "cpu")
     assert not resampling._kernel_applicable((means, covs), n)
+
+
+def test_v3_impl_path_matches_xla():
+    """impl('v3_interpret') — the TPU auto default's kernel — routes
+    through the pipelined merge kernel; bitwise-equal to the XLA path."""
+    from gpu_se_tpu.filters import resampling
+
+    n = 2 ** 12
+    parts = jax.random.normal(jax.random.PRNGKey(41), (n, 5), jnp.float32)
+    w = jnp.exp(5.0 * jnp.tanh(parts[:, 0]) ** 2)
+    kr = jax.random.PRNGKey(42)
+
+    with resampling.impl("xla"):
+        ref, rw = resampling.systematic_resample(parts, w, kr)
+    with resampling.impl("v3_interpret"):
+        out, ow = resampling.systematic_resample(parts, w, kr)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(ow), np.asarray(rw))
