@@ -22,7 +22,7 @@ from gpu_se_tpu.filters.resampling import systematic_resample
 from gpu_se_tpu.ops.smallmat import (
     bmm_small,
     cholesky_small,
-    inv_small,
+    inv_small_jittered,
     weighted_outer_sum,
     weighted_sigma_mean,
 )
@@ -149,7 +149,9 @@ def update_core(means, covariances, weights, u, z, g: Callable,
 
     p_xy = weighted_outer_sum(sig_c, w_sigma, eta_c)
     p_yy = weighted_outer_sum(eta_c, w_sigma, eta_c)
-    gains = bmm_small(p_xy, inv_small(p_yy))
+    # degenerate-P_yy safe gain solve (reference CPU uses pinv,
+    # /root/reference/filter/gs_ukf.py:134)
+    gains = bmm_small(p_xy, inv_small_jittered(p_yy))
 
     es = z - eta_means
     new_means = means + jnp.sum(gains * es[:, None, :], axis=2)

@@ -5,11 +5,12 @@ The reference implements this three ways: a sequential cumsum walk on CPU
 DLPack plus a hand-written CUDA kernel doing a per-thread bidirectional
 scan ("Nicely's algorithm", /root/reference/filter/particle.py:223-263).
 
-TPU-native design: one vectorized formulation — normalized inclusive
-cumsum + a batched ``searchsorted`` — which XLA compiles to sort/scan
-primitives; identical output to the reference CPU walk (smallest ``k``
-with ``cumsum[k] >= (i + r) / N``). The multi-chip variant lives in
-``gpu_se_tpu.parallel`` (local scan + exclusive psum of shard totals).
+TPU-native design: the scatter+cummax *inverse formulation* (smallest
+``k`` with ``cumsum[k] >= (i + r) / N``, identical output to the
+reference CPU walk) as the portable XLA path, with Pallas merge kernels
+for the hot TPU cases — see ``systematic_resample`` for the routing.
+The multi-chip variant lives in ``gpu_se_tpu.parallel`` (local scan +
+exclusive psum of shard totals).
 """
 from __future__ import annotations
 
@@ -130,6 +131,23 @@ class impl:
         _IMPL = self._prev
 
 
+def f32_exact_dtype(dtype) -> bool:
+    """True if round-tripping this dtype through float32 is lossless.
+
+    The Pallas kernels carry the (first/packed) payload as float32; any
+    leaf routed through them must survive the cast exactly — float32,
+    bfloat16/float16 (strict subsets of f32), and sub-24-bit ints.
+    int32/int64/float64 values can exceed f32's 24-bit mantissa and must
+    stay on the native-dtype XLA gather path.
+    """
+    d = jnp.dtype(dtype)
+    if d in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16),
+             jnp.dtype(jnp.float16)):
+        return True
+    return d in (jnp.dtype(jnp.int8), jnp.dtype(jnp.int16),
+                 jnp.dtype(jnp.uint8), jnp.dtype(jnp.uint16))
+
+
 def _kernel_applicable(pytree, n: int) -> bool:
     leaves = jax.tree_util.tree_leaves(pytree)
     if not leaves:
@@ -143,20 +161,33 @@ def _kernel_applicable(pytree, n: int) -> bool:
         # (N, <=32) payload — covers the GSUKF (means, covariances) bank
         from gpu_se_tpu.ops.resample_pallas_block import packable_cols
 
-        return packable_cols(pytree) > 0
+        return _pack_dtypes_ok(pytree) and packable_cols(pytree) > 0
     if _IMPL in ("coarse", "coarse_interpret"):
         from gpu_se_tpu.ops.resample_coarse import coarse_applicable
 
-        return coarse_applicable(pytree, n)
-    # v1 kernel runs on the first leaf (must be (N, <=8)); remaining
-    # leaves reuse its ancestor vector through the sorted row gather
+        return _pack_dtypes_ok(pytree) and coarse_applicable(pytree, n)
+    # single-leaf kernels run on the first leaf (must be (N, <=8) and
+    # f32-exact — the kernel carries it as float32); remaining leaves
+    # reuse its ancestor vector through the native-dtype sorted gather
     first = leaves[0]
-    first_ok = first.ndim == 2 and first.shape[1] <= 8
-    if _IMPL in ("pallas", "interpret", "v3", "v3_interpret"):
+    first_ok = (
+        first.ndim == 2 and first.shape[1] <= 8
+        and f32_exact_dtype(first.dtype)
+    )
+    if _IMPL in ("pallas", "interpret", "v3", "v3_interpret",
+                 "v4", "v4_interpret"):
         return first_ok
     if jax.default_backend() != "tpu":
         return False
     return first_ok or _auto_ends(pytree)
+
+
+def _pack_dtypes_ok(pytree) -> bool:
+    """All leaves survive the packed kernels' f32 round trip exactly."""
+    return all(
+        f32_exact_dtype(leaf.dtype)
+        for leaf in jax.tree_util.tree_leaves(pytree)
+    )
 
 
 def _auto_ends(pytree) -> bool:
@@ -164,11 +195,16 @@ def _auto_ends(pytree) -> bool:
     means+covariances) go through the packed-payload ends kernel — one
     fused pass beats v1-on-means + a sorted row gather for the (N,5,5)
     covariances: 13.9 vs 15.5 ms/step at 2^18 by k-chain slope
-    (scripts/probe_gsf_slope.out)."""
+    (scripts/probe_gsf_slope.out). Only f32-exact leaf dtypes may ride
+    the packed payload; anything else falls back to the XLA path."""
     from gpu_se_tpu.ops.resample_pallas_block import packable_cols
 
     leaves = jax.tree_util.tree_leaves(pytree)
-    return len(leaves) > 1 and packable_cols(pytree) > 0
+    return (
+        len(leaves) > 1
+        and _pack_dtypes_ok(pytree)
+        and packable_cols(pytree) > 0
+    )
 
 
 def systematic_resample(pytree, weights: jax.Array, key: jax.Array):
@@ -179,10 +215,20 @@ def systematic_resample(pytree, weights: jax.Array, key: jax.Array):
     mirroring the duplicated kernels at
     /root/reference/filter/particle.py:296-316 and gs_ukf.py:409-436.
 
-    On TPU, single-leaf (N, <=8) pytrees at kernel-friendly sizes go
-    through the fused Pallas merge kernel (search + gather in one pass;
-    ancestors match the XLA formulation up to ulp boundary ties). All
-    other cases use the XLA scatter+cummax + sorted-gather path.
+    Auto routing on TPU (at kernel-friendly sizes):
+
+    * pytrees whose FIRST leaf is (N, <=8) and f32-exact ride the fused
+      Pallas merge kernel (search + gather in one pass; ancestors match
+      the XLA formulation up to ulp boundary ties); remaining leaves
+      reuse the ancestors via the native-dtype sorted row gather;
+    * multi-leaf banks whose leaves are all f32-exact and pack to <=32
+      columns (the GSUKF means+covariances) ride the packed-payload
+      integer-``ends`` kernel (bitwise-equal to XLA by construction);
+    * everything else — including any pytree with a non-f32-exact leaf
+      (int32/int64/float64) in kernel position — uses the XLA
+      scatter+cummax + sorted-gather path at native dtypes.
+
+    The ``impl(...)`` context manager forces a specific path.
     """
     n = weights.shape[0]
     r = jax.random.uniform(key, ())

@@ -179,14 +179,20 @@ def coarse_kernel(p8t: jax.Array, o: jax.Array, n: int,
 
 
 def coarse_applicable(pytree, n: int) -> bool:
-    """Payload must fit the 6 free rows and n must tile whole grid
+    """Payload must fit the 6 free rows, survive the f32 packing round
+    trip exactly (the kernel carries every leaf as float32 — int32/f64
+    leaves would be silently degraded), and n must tile whole grid
     steps (BLOCK * CPS)."""
+    from gpu_se_tpu.filters.resampling import f32_exact_dtype
+
     leaves = jax.tree_util.tree_leaves(pytree)
     if not leaves:
         return False
     total = 0
     for leaf in leaves:
         if leaf.ndim < 2 or leaf.shape[0] != n:
+            return False
+        if not f32_exact_dtype(leaf.dtype):
             return False
         total += int(np.prod(leaf.shape[1:]))
     return total <= ENDS_ROW and n % (BLOCK * CPS) == 0 and n >= 2**13
@@ -197,10 +203,13 @@ def coarse_systematic_resample(
 ):
     """Resample a pytree of (N, ...) arrays; returns (pytree, ancestors).
 
-    Bitwise identical to the XLA path for ANY weights: the coarse-window
-    branch runs when every per-chunk ancestor span fits the window; a
-    ``lax.cond`` falls back to the exact scatter+cummax path (fed the
-    same ``ends``) on degenerate concentrations.
+    Bitwise identical to the XLA path for ANY weights *given f32-exact
+    leaf dtypes* (every leaf rides the payload as float32; use
+    ``coarse_applicable`` to gate — int32 values beyond 2^24 or float64
+    payloads would be silently degraded): the coarse-window branch runs
+    when every per-chunk ancestor span fits the window; a ``lax.cond``
+    falls back to the exact scatter+cummax path (fed the same ``ends``)
+    on degenerate concentrations.
     """
     from gpu_se_tpu.filters.resampling import sorted_row_gather
 

@@ -63,6 +63,28 @@ def cholesky_small(covs: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(rows, axis=-2)
 
 
+def inv_small_jittered(mats: jnp.ndarray, rel_jitter: float = 1e-6) -> jnp.ndarray:
+    """Branchless degenerate-safe batched small inverse.
+
+    ``inv_small`` divides by ``det``; a singular (or numerically
+    collapsed) matrix yields inf/NaN entries. Where that happens, redo
+    with ``rel_jitter * mean(diag) * I`` added — the gain-solve analogue
+    of ``_batched_cholesky_jittered`` (filters/gs_ukf.py), standing in
+    for the reference CPU path's ``pinv``
+    (/root/reference/filter/gs_ukf.py:134).
+    """
+    n = mats.shape[-1]
+    inv0 = inv_small(mats)
+    bad = ~jnp.isfinite(inv0).all(axis=(-2, -1), keepdims=True)
+    trace = jnp.trace(mats, axis1=-2, axis2=-1)[..., None, None]
+    scale = rel_jitter * jnp.abs(trace) / n + jnp.finfo(mats.dtype).tiny
+    inv1 = inv_small(mats + scale * jnp.eye(n, dtype=mats.dtype))
+    # a doubly-degenerate matrix (zero trace) still inverts to non-finite;
+    # zero the gain rather than poison the mean (pinv-of-0 semantics)
+    inv1 = jnp.where(jnp.isfinite(inv1), inv1, 0.0)
+    return jnp.where(bad, inv1, inv0)
+
+
 def inv_small(mats: jnp.ndarray) -> jnp.ndarray:
     """Inverse of a batch of small matrices (..., n, n), n in {1, 2, 3};
     falls back to jnp.linalg.inv for larger n."""

@@ -303,3 +303,52 @@ def test_v3_impl_path_matches_xla():
         out, ow = resampling.systematic_resample(parts, w, kr)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
     np.testing.assert_array_equal(np.asarray(ow), np.asarray(rw))
+
+
+def test_mixed_dtype_routing_stays_exact(monkeypatch):
+    """ADVICE r3 (medium): auto routing must never push non-f32-exact
+    leaves (int32 beyond 2^24, float64) through the f32-packing kernels.
+    Such pytrees fall back to the XLA path and keep native dtypes."""
+    from gpu_se_tpu.filters import resampling
+
+    n = 2 ** 13
+    monkeypatch.setattr(resampling.jax, "default_backend", lambda: "tpu")
+
+    means = jnp.zeros((n, 5), jnp.float32)
+    covs = jnp.zeros((n, 5, 5), jnp.float32)
+    big_ints = jnp.full((n, 1), 2 ** 24 + 1, jnp.int32)
+
+    # f32-exact multi-leaf bank still routes to the packed kernel ...
+    assert resampling._auto_ends((means, covs))
+    # ... but an int32 leaf disqualifies the pack (the f32-exact first
+    # leaf still admits the v1 kernel: non-first leaves ride the
+    # native-dtype sorted gather, which is safe)
+    assert not resampling._auto_ends((means, big_ints))
+    # an int32 FIRST leaf disqualifies the single-leaf kernels entirely
+    assert not resampling._kernel_applicable(big_ints, n)
+    assert not resampling._kernel_applicable((big_ints, covs), n)
+    # int32 in non-first position with a kernel-shaped first leaf is fine
+    # (non-first leaves ride the native-dtype sorted gather)
+    assert resampling._kernel_applicable((means, big_ints, covs), n)
+
+    # end-to-end (real backend again): values beyond f32's mantissa
+    # survive exactly through the public entry point
+    monkeypatch.undo()
+    w = jnp.exp(jnp.linspace(-3.0, 2.0, n, dtype=jnp.float32))
+    key = jax.random.PRNGKey(7)
+    vals = (jnp.arange(n, dtype=jnp.int32) + 2 ** 24 + 1)[:, None]
+    (out_m, out_v), _ = systematic_resample((means, vals), w, key)
+    assert out_v.dtype == jnp.int32
+    idx = systematic_resample_indices(w, jax.random.uniform(key, ()))
+    np.testing.assert_array_equal(
+        np.asarray(out_v[:, 0]), np.asarray(vals[np.asarray(idx), 0])
+    )
+
+
+def test_f32_exact_dtype_table():
+    from gpu_se_tpu.filters.resampling import f32_exact_dtype
+
+    for ok in (jnp.float32, jnp.bfloat16, jnp.float16, jnp.int8, jnp.int16):
+        assert f32_exact_dtype(ok), ok
+    for bad in (jnp.int32, jnp.int64, jnp.float64, jnp.uint32):
+        assert not f32_exact_dtype(bad), bad
