@@ -20,11 +20,9 @@ from flax import struct
 from gpu_se_tpu.distributions.gaussian_sum import GaussianSum
 from gpu_se_tpu.filters.resampling import systematic_resample
 from gpu_se_tpu.ops.smallmat import (
-    bmm_small,
     cholesky_small,
-    inv_small_jittered,
-    weighted_outer_sum,
-    weighted_sigma_mean,
+    cholesky_small_lanes,
+    inv_small_jittered_lanes,
 )
 
 
@@ -97,26 +95,68 @@ def init(
     return GSUKFState(means=means, covariances=covs, weights=weights, key=key)
 
 
+def _sigma_points_lanes(means_t, covs_t):
+    """Sigma points in lanes-last layout: ``means_t (nx, N)``,
+    ``covs_t (nx, nx, N)`` -> ``(2*nx+1, nx, N)``.
+
+    Same construction as :func:`get_sigma_points` (mean, mean ± columns
+    of the jittered Cholesky factor), identical op order — only the
+    layout differs. The big bank axis N stays in the TPU lane dimension
+    so nothing is padded 5 -> 128 (the round-3 10.6 ms UT cost at 2^18
+    was almost exactly that padding's bandwidth bill).
+    """
+    nx = means_t.shape[0]
+    l0 = cholesky_small_lanes(covs_t)
+    bad = jnp.isnan(l0).any(axis=(0, 1), keepdims=True)
+    eye = jnp.eye(nx, dtype=covs_t.dtype).reshape(
+        (nx, nx) + (1,) * (covs_t.ndim - 2))
+    l1 = cholesky_small_lanes(covs_t + 1e-10 * eye)
+    l_t = jnp.where(bad, l1, l0)
+    return jnp.stack(
+        [means_t]
+        + [means_t + l_t[:, i] for i in range(nx)]
+        + [means_t - l_t[:, i] for i in range(nx)]
+    )
+
+
+def _vmap_lanes2(fn):
+    """vmap a per-vector fn over (s, nx, N): axis 0 (sigma) and the
+    trailing lane axis. Works for ANY user f/g written for (nx,)
+    vectors; array layouts stay lanes-last throughout."""
+    inner = jax.vmap(fn, in_axes=(1, None, None), out_axes=1)
+    return jax.vmap(inner, in_axes=(0, None, None), out_axes=0)
+
+
 def predict_core(means, covariances, u, dt, noise, f: Callable):
     """Deterministic unscented prediction given pre-drawn sigma-point noise
     ``noise (N, 2*Nx+1, Nx)``. Shared by the single-device step and the
     explicit shard_map path (noise drawn outside with partitionable keys).
     Noise is added to the sigma points before recombination (deliberate
-    covariance inflation, cf. /root/reference/filter/gs_ukf.py:82-103)."""
+    covariance inflation, cf. /root/reference/filter/gs_ukf.py:82-103).
+
+    Internally computed in lanes-last layout (bank axis N in the TPU
+    lane dimension); the (N, ...) API is unchanged.
+    """
     nx = means.shape[1]
-    w_sigma = sigma_weights(nx, means.dtype)
-    sigmas = get_sigma_points(GSUKFState(
-        means=means, covariances=covariances,
-        weights=jnp.zeros(means.shape[0], means.dtype), key=None,
-    ))
-    deltas = jax.vmap(jax.vmap(f, in_axes=(0, None, None)), in_axes=(0, None, None))(
-        sigmas, u, dt
-    )
-    sigmas = sigmas + deltas + noise
-    new_means = weighted_sigma_mean(w_sigma, sigmas)
-    centered = sigmas - new_means[:, None, :]
-    covs = weighted_outer_sum(centered, w_sigma, centered)
-    return new_means, covs
+    w_sigma = sigma_weights(nx, means.dtype)  # (2nx+1,)
+    means_t = means.T                                   # (nx, N)
+    covs_t = jnp.transpose(covariances, (1, 2, 0))      # (nx, nx, N)
+    sig = _sigma_points_lanes(means_t, covs_t)          # (s, nx, N)
+
+    def f_vec(x, uu, ddt):
+        return f(x, uu, ddt)
+
+    deltas = _vmap_lanes2(f_vec)(sig, u, dt)
+    noise_t = jnp.transpose(noise, (1, 2, 0))           # (s, nx, N)
+    sig = sig + deltas + noise_t
+    ws = w_sigma.reshape(-1, 1, 1)
+    new_means_t = jnp.sum(ws * sig, axis=0)             # (nx, N)
+    cent = sig - new_means_t[None]                      # (s, nx, N)
+    covs_new_t = jnp.sum(
+        cent[:, :, None, :] * (ws[..., None] * cent[:, None, :, :]),
+        axis=0,
+    )                                                    # (nx, nx, N)
+    return new_means_t.T, jnp.transpose(covs_new_t, (2, 0, 1))
 
 
 def predict(
@@ -134,36 +174,60 @@ def update_core(means, covariances, weights, u, z, g: Callable,
                 measurement_pdf: GaussianSum):
     """Per-Gaussian local UKF measurement update + global weight update
     (cf. /root/reference/filter/gs_ukf.py:105-149). Pure over arrays so
-    the shard_map path can reuse it shard-locally."""
+    the shard_map path can reuse it shard-locally.
+
+    Lanes-last internally (see :func:`predict_core`): the bank axis N
+    stays in the TPU lane dimension through every intermediate, so the
+    broadcast products are densely packed instead of lane-padded ~25x.
+    """
     nx = means.shape[1]
     w_sigma = sigma_weights(nx, means.dtype)
+    ws = w_sigma.reshape(-1, 1, 1)
+    means_t = means.T                                   # (nx, N)
+    covs_t = jnp.transpose(covariances, (1, 2, 0))      # (nx, nx, N)
+    sig = _sigma_points_lanes(means_t, covs_t)          # (s, nx, N)
 
-    sigmas = get_sigma_points(GSUKFState(
-        means=means, covariances=covariances, weights=weights, key=None,
-    ))
-    etas = jax.vmap(jax.vmap(g, in_axes=(0, None)), in_axes=(0, None))(sigmas, u)
+    inner_g = jax.vmap(g, in_axes=(1, None), out_axes=1)
+    etas = jax.vmap(inner_g, in_axes=(0, None), out_axes=0)(sig, u)  # (s, ny, N)
 
-    eta_means = weighted_sigma_mean(w_sigma, etas)
-    sig_c = sigmas - means[:, None, :]
-    eta_c = etas - eta_means[:, None, :]
+    eta_means_t = jnp.sum(ws * etas, axis=0)            # (ny, N)
+    sig_c = sig - means_t[None]                         # (s, nx, N)
+    eta_c = etas - eta_means_t[None]                    # (s, ny, N)
 
-    p_xy = weighted_outer_sum(sig_c, w_sigma, eta_c)
-    p_yy = weighted_outer_sum(eta_c, w_sigma, eta_c)
+    p_xy_t = jnp.sum(
+        sig_c[:, :, None, :] * (ws[..., None] * eta_c[:, None, :, :]),
+        axis=0,
+    )                                                    # (nx, ny, N)
+    p_yy_t = jnp.sum(
+        eta_c[:, :, None, :] * (ws[..., None] * eta_c[:, None, :, :]),
+        axis=0,
+    )                                                    # (ny, ny, N)
     # degenerate-P_yy safe gain solve (reference CPU uses pinv,
     # /root/reference/filter/gs_ukf.py:134)
-    gains = bmm_small(p_xy, inv_small_jittered(p_yy))
+    inv_t = inv_small_jittered_lanes(p_yy_t)            # (ny, ny, N)
+    gains_t = jnp.sum(
+        p_xy_t[:, :, None, :] * inv_t[None, :, :, :], axis=1
+    )                                                    # (nx, ny, N)
 
-    es = z - eta_means
-    new_means = means + jnp.sum(gains * es[:, None, :], axis=2)
+    es_t = z[:, None] - eta_means_t                     # (ny, N)
+    new_means_t = means_t + jnp.sum(gains_t * es_t[None], axis=1)
     # "Dimensions from paper do not work, use corrected version"
     # (/root/reference/filter/gs_ukf.py:139)
-    covs = covariances - bmm_small(
-        bmm_small(gains, p_yy), jnp.swapaxes(gains, -1, -2)
-    )
+    kp_t = jnp.sum(
+        gains_t[:, :, None, :] * p_yy_t[None, :, :, :], axis=1
+    )                                                    # (nx, ny, N)
+    kpk_t = jnp.sum(
+        kp_t[:, None, :, :] * gains_t[None, :, :, :], axis=2
+    )                                                    # (nx, nx, N)
+    covs_new_t = covs_t - kpk_t
 
-    y_means = jax.vmap(g, in_axes=(0, None))(new_means, u)
-    new_weights = weights * measurement_pdf.pdf(z - y_means)
-    return new_means, covs, new_weights
+    y_means_t = jax.vmap(g, in_axes=(1, None), out_axes=1)(new_means_t, u)
+    new_weights = weights * measurement_pdf.pdf((z[:, None] - y_means_t).T)
+    return (
+        new_means_t.T,
+        jnp.transpose(covs_new_t, (2, 0, 1)),
+        new_weights,
+    )
 
 
 def update(

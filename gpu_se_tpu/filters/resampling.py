@@ -99,16 +99,21 @@ def sorted_row_gather(a: jax.Array, idx: jax.Array) -> jax.Array:
 
 
 # ----------------------------------------------------------------------
-# Implementation selection, ranked by round-3 full-step k-chain slopes
-# at 2^20 (scripts/probe_v9.out, ms/step): v3 pipelined 128/256 8.91 <
-# v1 128/256 9.48 < XLA 12.6 — the DMA-pipelined merge kernel is the
-# TPU default for single-leaf payloads; multi-leaf banks (GSUKF) ride
-# the packed-payload ends kernel (probe_gsf_slope.out). The XLA path
-# remains the reference semantics (and the only path on CPU).
+# Implementation selection. Round-4 ranking by full-step k-chain slopes
+# at 2^20 (ms/step): v4 tiled jumbo-window (resample-only slope ~2.0,
+# scripts/probe_v10) < v3 pipelined 8.91 < v1 9.48 < XLA 12.6
+# (probe_v9.out). auto on TPU: v4 for (N, <=5) single-leaf payloads at
+# 4096-multiples (with its own exact degenerate-weights compaction
+# path), v3 for other kernel-shaped single leaves, the packed-payload
+# ends kernel for multi-leaf banks (GSUKF, probe_gsf_slope.out). The
+# XLA path remains the reference semantics (and the only path on CPU).
 _IMPL = "auto"  # "auto" | "xla" | "pallas" | "interpret" | "v3" |
-# "v3_interpret" | "ends" | "ends_interpret" | "coarse" | "coarse_interpret"
+# "v3_interpret" | "v4" | "v4_interpret" | "ends" | "ends_interpret" |
+# "coarse" | "coarse_interpret"
 _KERNEL_BLOCK = 128
 _KERNEL_WINDOW = 256
+# output-slot block of the v4 tiled kernel (resample_pallas4)
+_V4_BLOCK = 4096
 # geometry for the ends-domain pipelined kernel (resample_pallas_block)
 _ENDS_BLOCK = 256
 _ENDS_WINDOW = 256
@@ -174,8 +179,11 @@ def _kernel_applicable(pytree, n: int) -> bool:
         first.ndim == 2 and first.shape[1] <= 8
         and f32_exact_dtype(first.dtype)
     )
-    if _IMPL in ("pallas", "interpret", "v3", "v3_interpret",
-                 "v4", "v4_interpret"):
+    if _IMPL in ("v4", "v4_interpret"):
+        from gpu_se_tpu.ops.resample_pallas4 import v4_applicable
+
+        return first_ok and v4_applicable(first, n)
+    if _IMPL in ("pallas", "interpret", "v3", "v3_interpret"):
         return first_ok
     if jax.default_backend() != "tpu":
         return False
@@ -271,23 +279,41 @@ def systematic_resample(pytree, weights: jax.Array, key: jax.Array):
             return gathered, jnp.full((n,), 1.0 / n, dtype=weights.dtype)
 
         leaves, treedef = jax.tree_util.tree_flatten(pytree)
-        if _IMPL in ("pallas", "interpret"):
-            # v1 synchronous merge kernel (explicit opt-in)
-            from gpu_se_tpu.ops.resample_pallas import (
-                pallas_systematic_resample as _kernel_fn,
-            )
-        else:
-            # auto / "v3": the DMA-pipelined merge kernel — 8.91 vs
-            # 9.48 ms/step at 2^20 (probe_v9.out)
-            from gpu_se_tpu.ops.resample_pallas3 import (
-                pallas_systematic_resample_pipelined as _kernel_fn,
+        from gpu_se_tpu.ops.resample_pallas4 import v4_applicable
+
+        if _IMPL in ("v4", "v4_interpret") or (
+                _IMPL == "auto" and v4_applicable(leaves[0], n)):
+            # round-4 default: the tiled jumbo-window kernel — ~n/4096
+            # sequential pipeline units instead of ~n/128, breaking the
+            # round-3 ~8 ms floor at 2^20 (see resample_pallas4.py)
+            from gpu_se_tpu.ops.resample_pallas4 import (
+                pallas_systematic_resample_tiled,
             )
 
-        out, anc = _kernel_fn(
-            leaves[0], weights, r,
-            block_slots=_KERNEL_BLOCK, window=_KERNEL_WINDOW,
-            interpret=_IMPL.endswith("interpret"),
-        )
+            out, anc = pallas_systematic_resample_tiled(
+                leaves[0], weights, r,
+                block=_V4_BLOCK,
+                interpret=(_IMPL == "v4_interpret"),
+            )
+        else:
+            if _IMPL in ("pallas", "interpret"):
+                # v1 synchronous merge kernel (explicit opt-in)
+                from gpu_se_tpu.ops.resample_pallas import (
+                    pallas_systematic_resample as _kernel_fn,
+                )
+            else:
+                # "v3" / auto fallback for shapes v4 can't take: the
+                # DMA-pipelined merge kernel (8.91 ms/step at 2^20,
+                # probe_v9.out)
+                from gpu_se_tpu.ops.resample_pallas3 import (
+                    pallas_systematic_resample_pipelined as _kernel_fn,
+                )
+
+            out, anc = _kernel_fn(
+                leaves[0], weights, r,
+                block_slots=_KERNEL_BLOCK, window=_KERNEL_WINDOW,
+                interpret=_IMPL.endswith("interpret"),
+            )
         rest = [
             sorted_row_gather(leaf, jax.lax.optimization_barrier(anc))
             for leaf in leaves[1:]

@@ -39,13 +39,86 @@ def get_sim_summary(N_particles, dt_control, dt_predict, monte_carlo=0, end_time
 
 
 def utilization(summary, dt_control=DT_CONTROL):
-    """Runtime / real-time budget (budget = dt_control * 60 s,
-    cf. bioreactor_performance_pf.py:157)."""
-    budget = (summary["predict_count"] + summary["update_count"]) and (
-        len(summary["ts"]) * 0 + dt_control * 60
-    )
-    total_budget = summary["ts"][-1] / dt_control * (dt_control * 60)
+    """Runtime / real-time budget (budget = dt_control * 60 s per control
+    period, cf. bioreactor_performance_pf.py:157). Simplifies to
+    runtime / (end_time * 60): one simulated time unit is one minute."""
+    total_budget = summary["ts"][-1] * 60.0
     return summary["runtime"] / total_budget
+
+
+@PickleJar.pickle(path="pf/closedloop_device")
+def get_sim_summary_device(N_particles, dt_control, dt_predict,
+                           monte_carlo=0, end_time=50):
+    """Device-speed twin of :func:`get_sim_summary` (VERDICT r3 weak #5):
+    the whole closed loop — plant truth, PF, MPC QP — runs inside ONE
+    jitted ``lax.scan`` (gpu_se_tpu.sim.loop), so the measured runtime is
+    accelerator time, not the >=4 host<->device round trips per control
+    step that dominate the host-shell ``Simulation`` through the relay.
+
+    Timing honesty (CLAUDE.md): the run is forced to completion by
+    fetching a scalar reduction of the full record with ``float()``, and
+    a null-workload jit round trip is subtracted.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gpu_se_tpu.models import bioreactor as bio
+    from gpu_se_tpu.sim.loop import make_scan_loop
+
+    bioreactor, lin_model, K, est = sim.get_parts(
+        dt_control, int(N_particles), gpu=True, pf=True, seed=monte_carlo,
+    )
+    state_pdf, measurement_pdf = sim.get_noise()
+    run, ts = make_scan_loop(
+        K, lin_model, state_pdf.dist, measurement_pdf.dist,
+        end_time=end_time, dt_control=dt_control, dt_predict=dt_predict,
+    )
+
+    def forced(state, x0, key):
+        rec = run(state, x0, key)
+        force = sum(jnp.sum(leaf.astype(jnp.float32)) for leaf in rec)
+        return rec, force
+
+    forced = jax.jit(forced)
+    null = jax.jit(lambda: jnp.float32(0.0))
+    x0 = np.asarray(bioreactor.X, dtype=np.float32)
+    key = jax.random.PRNGKey(int(monte_carlo) + 1)
+
+    rec, f0 = forced(est.state, x0, key)          # compile + warm
+    float(f0)
+    float(null())
+    t0 = time.perf_counter()
+    _, f1 = forced(est.state, x0, key)
+    float(f1)
+    t1 = time.perf_counter()
+    float(null())
+    t2 = time.perf_counter()
+    runtime = max((t1 - t0) - (t2 - t1), 0.0)     # null-RTT corrected
+
+    xs = np.asarray(rec.xs)
+    xs_f = np.asarray(rec.xs_f)
+    ys = np.stack([np.asarray(bio.all_outputs(jnp.asarray(x))) for x in []])         if False else np.asarray(jax.vmap(bio.all_outputs)(jnp.asarray(xs)))
+    ys_f = np.asarray(jax.vmap(bio.all_outputs)(jnp.asarray(xs_f)))
+    sel = np.asarray(lin_model.outputs, dtype=int)
+    perf = sim.performance(ys[:, sel], ys_f[:, sel], ts[1:])
+    status = np.asarray(rec.status)
+    return dict(
+        performance=float(perf),
+        mpc_frac=float(np.mean(status == 1)),
+        runtime=float(runtime),
+        runtime_raw=float(t1 - t0),
+        null_rtt=float(t2 - t1),
+        ts=ts,
+    )
+
+
+def frontier_device(log2s=N_LOG2, dt_control=DT_CONTROL, end_time=50):
+    rows = []
+    for log2 in log2s:
+        n = int(2**log2)
+        s = get_sim_summary_device(n, dt_control, dt_control, 0, end_time)
+        rows.append((n, s["performance"], utilization(s, dt_control)))
+    return np.array(rows)
 
 
 def frontier(log2s=N_LOG2, dt_control=DT_CONTROL, end_time=50):
@@ -64,8 +137,16 @@ def plot(log2s=N_LOG2):
     fig, axes = plt.subplots(1, 3, figsize=(18, 5))
     axes[0].semilogx(rows[:, 0], rows[:, 1], "k.-")
     axes[0].set_xlabel("N particles"); axes[0].set_ylabel("ITSE")
-    axes[1].loglog(rows[:, 0], rows[:, 2], "k.-")
+    axes[1].loglog(rows[:, 0], rows[:, 2], "k.-",
+                   label="host shell (relay RTT bound)")
+    try:
+        drows = frontier_device(log2s)
+        axes[1].loglog(drows[:, 0], drows[:, 2], "b.-",
+                       label="on-device scan loop")
+    except Exception as e:  # pragma: no cover - device path optional
+        print("device frontier unavailable:", e)
     axes[1].axhline(1.0, color="red")
+    axes[1].legend(fontsize=8)
     axes[1].set_xlabel("N particles"); axes[1].set_ylabel("utilization")
     # covariance convergence vs N (cf. reference :238-271)
     for log2 in log2s[:: max(1, len(log2s) // 4)]:

@@ -248,7 +248,9 @@ def run_slopes(out, rng, save):
     slopes = {}
     for kind, label in [("nores", "pf_predict_update"),
                         ("xla", "pf_step_resample_xla"),
-                        ("v1", "pf_step_resample_pallas_v1_default")]:
+                        ("v1", "pf_step_resample_pallas_v1"),
+                        ("v3", "pf_step_resample_pallas_v3"),
+                        ("v4", "pf_step_resample_pallas_v4_default")]:
         step = probe_v7.make_step(kind, rigt)
         t_lo = probe_v7.measure(probe_v7.chain_fn(step, 1), p0, rng)
         t_hi = probe_v7.measure(probe_v7.chain_fn(step, 9), p0, rng)
@@ -262,8 +264,10 @@ def run_slopes(out, rng, save):
         **slopes,
     }
     # the slope of the production default is the honest device step time
+    # (ADVICE r3: keep this keyed to the ACTUAL default in
+    # filters/resampling.py — v4 tiled since round 4)
     out["pf_full_step_2e20"] = {
-        "device_ms": slopes["pf_step_resample_pallas_v1_default"],
+        "device_ms": slopes["pf_step_resample_pallas_v4_default"],
         "method": "k-chain slope",
     }
     save()

@@ -88,6 +88,20 @@ def make_step(kind, rigt):
 
             parts, _ = pallas_systematic_resample(
                 st.particles, st.weights, r, 128, 256)
+        elif kind == "v3":
+            from gpu_se_tpu.ops.resample_pallas3 import (
+                pallas_systematic_resample_pipelined,
+            )
+
+            parts, _ = pallas_systematic_resample_pipelined(
+                st.particles, st.weights, r, 128, 256)
+        elif kind == "v4":
+            from gpu_se_tpu.ops.resample_pallas4 import (
+                pallas_systematic_resample_tiled,
+            )
+
+            parts, _ = pallas_systematic_resample_tiled(
+                st.particles, st.weights, r)
         return pf_core.PFState(
             particles=parts,
             weights=jnp.full((N,), 1.0 / N, jnp.float32),
@@ -133,7 +147,9 @@ def main():
         jnp.float32)
     jax.block_until_ready(p0)
 
-    for kind in ("nores", "xla", "v1", "v6"):
+    import sys
+    kinds = sys.argv[1:] or ("nores", "xla", "v1", "v3", "v4")
+    for kind in kinds:
         step = make_step(kind, rigt)
         t_lo = measure(chain_fn(step, K_LO), p0, rng)
         t_hi = measure(chain_fn(step, K_HI), p0, rng)

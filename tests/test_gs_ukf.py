@@ -215,3 +215,33 @@ def test_update_survives_collapsed_component():
     new = gs_ukf.update(state, u, z, g, measurement_pdf)
     assert np.isfinite(np.asarray(new.means)).all()
     assert np.isfinite(np.asarray(new.covariances)).all()
+
+
+def test_lanes_smallmat_mirrors_batched_exactly():
+    """The lanes-last small-matrix ops (round-4 GSUKF layout fix) are
+    op-for-op mirrors of the batched ones — bitwise equal."""
+    import numpy as np
+    from gpu_se_tpu.ops.smallmat import (
+        cholesky_small, cholesky_small_lanes,
+        inv_small, inv_small_lanes, inv_small_jittered_lanes,
+    )
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((64, 5, 5)).astype(np.float32)
+    spd = a @ np.swapaxes(a, 1, 2) + 3 * np.eye(5, dtype=np.float32)
+    l1 = np.asarray(cholesky_small(jnp.asarray(spd)))
+    l2 = np.asarray(cholesky_small_lanes(jnp.asarray(spd.transpose(1, 2, 0))))
+    np.testing.assert_array_equal(l1, l2.transpose(2, 0, 1))
+
+    m2 = rng.standard_normal((64, 2, 2)).astype(np.float32)
+    m2 = m2 @ np.swapaxes(m2, 1, 2) + np.eye(2, dtype=np.float32)
+    i1 = np.asarray(inv_small(jnp.asarray(m2)))
+    i2 = np.asarray(inv_small_lanes(jnp.asarray(m2.transpose(1, 2, 0))))
+    np.testing.assert_array_equal(i1, i2.transpose(2, 0, 1))
+    j2 = np.asarray(inv_small_jittered_lanes(jnp.asarray(m2.transpose(1, 2, 0))))
+    np.testing.assert_array_equal(i2, j2)
+
+    sing = np.zeros((3, 2, 2), np.float32)
+    sing[0] = [[1, 1], [1, 1]]
+    js = np.asarray(inv_small_jittered_lanes(jnp.asarray(sing.transpose(1, 2, 0))))
+    assert np.isfinite(js).all()

@@ -352,3 +352,35 @@ def test_f32_exact_dtype_table():
         assert f32_exact_dtype(ok), ok
     for bad in (jnp.int32, jnp.int64, jnp.float64, jnp.uint32):
         assert not f32_exact_dtype(bad), bad
+
+
+def test_v4_impl_path_matches_xla():
+    """impl('v4_interpret') — the round-4 tiled jumbo-window kernel —
+    bitwise-equal to the XLA path, incl. the tie-degenerate fallback."""
+    from gpu_se_tpu.filters import resampling
+
+    n = 2 ** 12
+    rng = np.random.default_rng(11)
+    for case in ("random", "dead_runs"):
+        w_np = np.exp(rng.standard_normal(n)).astype(np.float32)
+        if case == "dead_runs":
+            w_np[: n // 2] = 1e-12
+        parts = jnp.asarray(rng.standard_normal((n, 5)), jnp.float32)
+        w = jnp.asarray(w_np)
+        kr = jax.random.PRNGKey(42)
+        with resampling.impl("xla"):
+            ref, rw = resampling.systematic_resample(parts, w, kr)
+        with resampling.impl("v4_interpret"):
+            out, ow = resampling.systematic_resample(parts, w, kr)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+        np.testing.assert_array_equal(np.asarray(ow), np.asarray(rw))
+
+
+def test_v4_applicability_gate():
+    from gpu_se_tpu.ops.resample_pallas4 import v4_applicable
+
+    ok = jnp.zeros((2 ** 13, 5), jnp.float32)
+    assert v4_applicable(ok, 2 ** 13)
+    assert not v4_applicable(jnp.zeros((2 ** 13, 7), jnp.float32), 2 ** 13)
+    assert not v4_applicable(ok[: 2 ** 13 - 128], 2 ** 13 - 128)  # % 4096
+    assert not v4_applicable(jnp.zeros((128, 5), jnp.float32), 128)
