@@ -161,6 +161,33 @@ class GaussianSum:
         out = onehot @ self.means + jnp.sum(onehot[:, :, None] * scaled, axis=1)
         return out.reshape(shape + (self.n_dim,))
 
+    def draw_t(self, key: jax.Array, size: int) -> jax.Array:
+        """Lanes-last draw: ``(Nx, size)`` with the big axis minor.
+
+        Same distribution as :meth:`draw` but a DIFFERENT stream mapping
+        (eps is generated transposed), built for bulk consumers like the
+        GSUKF sigma noise where the ``(M, Nx)`` layout's 5-wide trailing
+        dim costs ~15x in padded memory traffic at 2^18x11 draws
+        (scripts/probe_gsf2.py). Every op keeps ``size`` in the TPU lane
+        dimension: the per-component affines are (Nx, Nx) @ (Nx, size)
+        matmuls and the categorical combine is a broadcast-multiply-
+        reduce over the tiny component axis.
+        """
+        kc, kn = jax.random.split(key)
+        logits = jnp.log(self.weights)
+        comp = jax.random.categorical(kc, logits, shape=(size,))
+        eps = jax.random.normal(kn, (self.n_dim, size),
+                                dtype=self.means.dtype)
+        scaled = jnp.stack([
+            self.chol[d] @ eps for d in range(self.n_components)
+        ])                                            # (Nd, Nx, size)
+        onehot = (comp[None, :] ==
+                  jnp.arange(self.n_components)[:, None]
+                  ).astype(eps.dtype)                 # (Nd, size)
+        mean_term = self.means.T @ onehot             # (Nx, size)
+        noise = jnp.sum(onehot[:, None, :] * scaled, axis=0)
+        return mean_term + noise
+
     # ------------------------------------------------------------------
     def mean(self) -> jax.Array:
         """Mixture mean (weights normalized)."""

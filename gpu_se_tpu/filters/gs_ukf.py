@@ -127,7 +127,8 @@ def _vmap_lanes2(fn):
     return jax.vmap(inner, in_axes=(0, None, None), out_axes=0)
 
 
-def predict_core(means, covariances, u, dt, noise, f: Callable):
+def predict_core(means, covariances, u, dt, noise, f: Callable,
+                 noise_is_lanes: bool = False):
     """Deterministic unscented prediction given pre-drawn sigma-point noise
     ``noise (N, 2*Nx+1, Nx)``. Shared by the single-device step and the
     explicit shard_map path (noise drawn outside with partitionable keys).
@@ -147,7 +148,9 @@ def predict_core(means, covariances, u, dt, noise, f: Callable):
         return f(x, uu, ddt)
 
     deltas = _vmap_lanes2(f_vec)(sig, u, dt)
-    noise_t = jnp.transpose(noise, (1, 2, 0))           # (s, nx, N)
+    # noise arrives (N, s, nx) from the shared API or already lanes-last
+    # (s, nx, N) from the single-device draw_t fast path
+    noise_t = noise if noise_is_lanes else jnp.transpose(noise, (1, 2, 0))
     sig = sig + deltas + noise_t
     ws = w_sigma.reshape(-1, 1, 1)
     new_means_t = jnp.sum(ws * sig, axis=0)             # (nx, N)
@@ -165,8 +168,14 @@ def predict(
     """Unscented prediction (cf. /root/reference/filter/gs_ukf.py:82-103)."""
     n, nx = state.means.shape
     key, sub = jax.random.split(state.key)
-    noise = state_pdf.draw(sub, (n, 2 * nx + 1))
-    means, covs = predict_core(state.means, state.covariances, u, dt, noise, f)
+    # lanes-last draw: the (N*(2nx+1), nx) layout's padded traffic was
+    # the single largest UT cost at 2^18 (4.7 of 10.5 ms, probe_gsf2)
+    s_sig = 2 * nx + 1
+    noise_t = state_pdf.draw_t(sub, n * s_sig).reshape(nx, s_sig, n)
+    noise_t = jnp.transpose(noise_t, (1, 0, 2))         # (s, nx, N)
+    means, covs = predict_core(
+        state.means, state.covariances, u, dt, noise_t, f,
+        noise_is_lanes=True)
     return GSUKFState(means=means, covariances=covs, weights=state.weights, key=key)
 
 

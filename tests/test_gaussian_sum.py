@@ -149,3 +149,28 @@ def test_pdf_under_jit_and_vmap(mix):
     np.testing.assert_allclose(
         np.asarray(per_point), np.asarray(mix.pdf(pts)), rtol=1e-6
     )
+
+
+def test_draw_t_matches_draw_distribution():
+    """draw_t (lanes-last bulk draw) samples the same mixture: moment
+    check against the analytic mean/covariance, and determinism by key."""
+    import numpy as np
+    from gpu_se_tpu.distributions import GaussianSum
+
+    gs = GaussianSum.create(
+        means=np.array([[1.0, -2.0], [3.0, 4.0]]),
+        covariances=np.stack([np.eye(2) * 0.5, [[2.0, 0.6], [0.6, 1.0]]]),
+        weights=np.array([0.3, 0.7]),
+    )
+    key = jax.random.PRNGKey(0)
+    m = 200_000
+    out = np.asarray(gs.draw_t(key, m))
+    assert out.shape == (2, m)
+    mu = np.asarray(gs.mean())
+    cov = np.asarray(gs.covariance())
+    np.testing.assert_allclose(out.mean(axis=1), mu, atol=4 * np.sqrt(
+        np.diag(cov).max() / m) * 10)
+    np.testing.assert_allclose(np.cov(out), cov, rtol=0.05, atol=0.05)
+    # deterministic by key
+    np.testing.assert_array_equal(
+        np.asarray(gs.draw_t(key, 64)), np.asarray(gs.draw_t(key, 64)))
