@@ -1,6 +1,8 @@
 """Big-N single-chip bench artifact: full PF step throughput at
-2^20/2^21/2^22 (the reference's GTX-1070 regime ran to 2^23.5;
->= 2^23 remote AOT compiles hang the dev relay — CLAUDE.md).
+2^20..2^24 (the reference's GTX-1070 regime: run-seqs to 2^23.5,
+construction+steps at 2^24). Round 3's ">=2^23 remote AOT compile
+hangs" no longer reproduces with the v4 resample as the default
+(ATTEMPT_2E23.json: full fused step compiles in ~8 s and runs).
 
 Writes results/artifacts/BIGN_BENCH.json. Methodology: wall-clock-seeded
 chained loop, one final block (relay backpressure ~= device time).
@@ -37,7 +39,7 @@ def main():
     seed = int(time.time() * 1000) % (2 ** 31)
 
     art = {"seed": seed, "reps": REPS, "points": {}}
-    for logn in (20, 21, 22):
+    for logn in (20, 21, 22, 23, 24):
         n = 2 ** logn
 
         @jax.jit
