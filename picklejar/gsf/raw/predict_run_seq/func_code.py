@@ -1,0 +1,5 @@
+# first line: 20
+@RunSequences.vectorize
+@PickleJar.pickle(path="gsf/raw")
+def predict_run_seq(N, runs, gpu):
+    return run_seq("gsf", "predict", N, runs, gpu)

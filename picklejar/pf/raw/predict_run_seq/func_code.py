@@ -1,0 +1,5 @@
+# first line: 22
+@RunSequences.vectorize
+@PickleJar.pickle(path="pf/raw")
+def predict_run_seq(N, runs, gpu):
+    return run_seq("pf", "predict", N, runs, gpu)

@@ -1,0 +1,5 @@
+# first line: 28
+@RunSequences.vectorize
+@PickleJar.pickle(path="pf/raw")
+def update_run_seq(N, runs, gpu):
+    return run_seq("pf", "update", N, runs, gpu)
