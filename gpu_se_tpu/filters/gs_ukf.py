@@ -155,10 +155,13 @@ def predict_core(means, covariances, u, dt, noise, f: Callable,
     ws = w_sigma.reshape(-1, 1, 1)
     new_means_t = jnp.sum(ws * sig, axis=0)             # (nx, N)
     cent = sig - new_means_t[None]                      # (s, nx, N)
-    covs_new_t = jnp.sum(
-        cent[:, :, None, :] * (ws[..., None] * cent[:, None, :, :]),
-        axis=0,
-    )                                                    # (nx, nx, N)
+    # accumulate the weighted outer products per sigma point instead of
+    # materializing the rank-4 (s, nx, nx, N) product (less padded
+    # intermediate traffic; identical summation order over s)
+    covs_new_t = None
+    for si in range(cent.shape[0]):
+        term = w_sigma[si] * (cent[si][:, None, :] * cent[si][None, :, :])
+        covs_new_t = term if covs_new_t is None else covs_new_t + term
     return new_means_t.T, jnp.transpose(covs_new_t, (2, 0, 1))
 
 
@@ -203,14 +206,14 @@ def update_core(means, covariances, weights, u, z, g: Callable,
     sig_c = sig - means_t[None]                         # (s, nx, N)
     eta_c = etas - eta_means_t[None]                    # (s, ny, N)
 
-    p_xy_t = jnp.sum(
-        sig_c[:, :, None, :] * (ws[..., None] * eta_c[:, None, :, :]),
-        axis=0,
-    )                                                    # (nx, ny, N)
-    p_yy_t = jnp.sum(
-        eta_c[:, :, None, :] * (ws[..., None] * eta_c[:, None, :, :]),
-        axis=0,
-    )                                                    # (ny, ny, N)
+    p_xy_t = None                                        # (nx, ny, N)
+    p_yy_t = None                                        # (ny, ny, N)
+    for si in range(sig_c.shape[0]):
+        w_eta = w_sigma[si] * eta_c[si]
+        txy = sig_c[si][:, None, :] * w_eta[None, :, :]
+        tyy = eta_c[si][:, None, :] * w_eta[None, :, :]
+        p_xy_t = txy if p_xy_t is None else p_xy_t + txy
+        p_yy_t = tyy if p_yy_t is None else p_yy_t + tyy
     # degenerate-P_yy safe gain solve (reference CPU uses pinv,
     # /root/reference/filter/gs_ukf.py:134)
     inv_t = inv_small_jittered_lanes(p_yy_t)            # (ny, ny, N)
