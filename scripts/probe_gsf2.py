@@ -48,6 +48,18 @@ def make(leg, k):
                 means, covs, w = gs_ukf.update_core(
                     means, covs, w, u, z, g, meas_pdf)
                 covs = covs + 1e-6 * jnp.eye(5, dtype=jnp.float32)
+            elif leg == "updpdf":
+                # the weight-pdf piece of update_core alone
+                yv = jax.vmap(g, in_axes=(1, None), out_axes=1)(means.T, u)
+                w = w * meas_pdf.pdf((z[:, None] - yv).T)
+                means = means + 1e-9 * jnp.sum(w)
+            elif leg == "updsig":
+                # sigma + eta propagation piece alone
+                st = gs_ukf._sigma_points_lanes(
+                    means.T, jnp.transpose(covs, (1, 2, 0)))
+                inner_g = jax.vmap(g, in_axes=(1, None), out_axes=1)
+                etas = jax.vmap(inner_g, in_axes=(0, None), out_axes=0)(st, u)
+                means = means + 1e-9 * (jnp.sum(etas) + jnp.sum(st))
             elif leg == "sigma":
                 st = gs_ukf._sigma_points_lanes(
                     means.T, jnp.transpose(covs, (1, 2, 0)))
