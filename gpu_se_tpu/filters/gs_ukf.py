@@ -194,26 +194,44 @@ def update_core(means, covariances, weights, u, z, g: Callable,
     """
     nx = means.shape[1]
     w_sigma = sigma_weights(nx, means.dtype)
-    ws = w_sigma.reshape(-1, 1, 1)
     means_t = means.T                                   # (nx, N)
     covs_t = jnp.transpose(covariances, (1, 2, 0))      # (nx, nx, N)
-    sig = _sigma_points_lanes(means_t, covs_t)          # (s, nx, N)
+    # jittered Cholesky factor; centered sigma points are EXACTLY its
+    # columns (0, +l_i, -l_i), so the (s, nx, N) sigma stack never needs
+    # to exist here — the HLO for the stacked form streamed ~60 MB
+    # buffers across every fusion boundary
+    l0 = cholesky_small_lanes(covs_t)
+    bad = jnp.isnan(l0).any(axis=(0, 1), keepdims=True)
+    eye = jnp.eye(nx, dtype=covs_t.dtype).reshape(nx, nx, 1)
+    l_t = jnp.where(bad, cholesky_small_lanes(covs_t + 1e-10 * eye), l0)
 
     inner_g = jax.vmap(g, in_axes=(1, None), out_axes=1)
-    etas = jax.vmap(inner_g, in_axes=(0, None), out_axes=0)(sig, u)  # (s, ny, N)
 
-    eta_means_t = jnp.sum(ws * etas, axis=0)            # (ny, N)
-    sig_c = sig - means_t[None]                         # (s, nx, N)
-    eta_c = etas - eta_means_t[None]                    # (s, ny, N)
+    def sigma_i(si):
+        if si == 0:
+            return means_t
+        if si <= nx:
+            return means_t + l_t[:, si - 1]
+        return means_t - l_t[:, si - 1 - nx]
+
+    etas = [inner_g(sigma_i(si), u) for si in range(2 * nx + 1)]
+    eta_means_t = None                                  # (ny, N)
+    for si, e in enumerate(etas):
+        t = w_sigma[si] * e
+        eta_means_t = t if eta_means_t is None else eta_means_t + t
 
     p_xy_t = None                                        # (nx, ny, N)
     p_yy_t = None                                        # (ny, ny, N)
-    for si in range(sig_c.shape[0]):
-        w_eta = w_sigma[si] * eta_c[si]
-        txy = sig_c[si][:, None, :] * w_eta[None, :, :]
-        tyy = eta_c[si][:, None, :] * w_eta[None, :, :]
-        p_xy_t = txy if p_xy_t is None else p_xy_t + txy
+    for si, e in enumerate(etas):
+        eta_c = e - eta_means_t                          # (ny, N)
+        w_eta = w_sigma[si] * eta_c
+        tyy = eta_c[:, None, :] * w_eta[None, :, :]
         p_yy_t = tyy if p_yy_t is None else p_yy_t + tyy
+        if si == 0:
+            continue                                     # centered sigma = 0
+        sc = l_t[:, si - 1] if si <= nx else -l_t[:, si - 1 - nx]
+        txy = sc[:, None, :] * w_eta[None, :, :]
+        p_xy_t = txy if p_xy_t is None else p_xy_t + txy
     # degenerate-P_yy safe gain solve (reference CPU uses pinv,
     # /root/reference/filter/gs_ukf.py:134)
     inv_t = inv_small_jittered_lanes(p_yy_t)            # (ny, ny, N)
