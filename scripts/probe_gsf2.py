@@ -40,6 +40,19 @@ def make(leg, k):
             if leg == "noise":
                 noise = state_pdf.draw(sub, (N, 11))
                 means = means + 1e-9 * noise[:, 0, :]
+            elif leg == "noise_t":
+                nt = state_pdf.draw_t(sub, N * 11)
+                means = means + 1e-9 * jnp.sum(nt)
+            elif leg == "normals":
+                eps = jax.random.normal(sub, (5, N * 11), jnp.float32)
+                means = means + 1e-9 * jnp.sum(eps)
+            elif leg == "bits":
+                b = jax.random.bits(sub, (5, N * 11), jnp.uint32)
+                means = means + 1e-9 * jnp.sum(b.astype(jnp.float32))
+            elif leg == "categorical":
+                c = jax.random.categorical(
+                    sub, jnp.log(state_pdf.weights), shape=(N * 11,))
+                means = means + 1e-9 * jnp.sum(c.astype(jnp.float32))
             elif leg == "predict":
                 noise = jnp.zeros((N, 11, 5), jnp.float32) + means[:, None, :] * 1e-12
                 means, covs = gs_ukf.predict_core(means, covs, u, 0.1, noise, f)
