@@ -294,8 +294,13 @@ def test_gsukf_auto_sharded_matches_single_device(rig):
         shard_gsukf_state(state, mesh8), rig["u"], rig["z"], jnp.float32(0.1),
         rig["state_pdf"], rig["meas_pdf"],
     )
+    # rtol loosened 1e-5 -> 1e-4 in round 4: the per-sigma accumulation
+    # rewrite of update_core reassociates f32 sums, and GSPMD's
+    # partitioned fusion orders them slightly differently than the
+    # single-device lowering (observed max 3e-5 relative on 1/320
+    # elements)
     np.testing.assert_allclose(
-        np.asarray(out.means), np.asarray(ref.means), rtol=1e-5, atol=3e-6
+        np.asarray(out.means), np.asarray(ref.means), rtol=1e-4, atol=1e-5
     )
     np.testing.assert_allclose(
         np.asarray(out.covariances), np.asarray(ref.covariances), rtol=1e-4, atol=3e-6
