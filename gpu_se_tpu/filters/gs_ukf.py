@@ -183,7 +183,7 @@ def predict(
 
 
 def update_core(means, covariances, weights, u, z, g: Callable,
-                measurement_pdf: GaussianSum):
+                measurement_pdf: GaussianSum, return_eta: bool = False):
     """Per-Gaussian local UKF measurement update + global weight update
     (cf. /root/reference/filter/gs_ukf.py:105-149). Pure over arrays so
     the shard_map path can reuse it shard-locally.
@@ -252,7 +252,12 @@ def update_core(means, covariances, weights, u, z, g: Callable,
     covs_new_t = covs_t - kpk_t
 
     y_means_t = jax.vmap(g, in_axes=(1, None), out_axes=1)(new_means_t, u)
-    new_weights = weights * measurement_pdf.pdf((z[:, None] - y_means_t).T)
+    eta = (z[:, None] - y_means_t).T                     # (N, ny)
+    if return_eta:
+        # caller does its own weight update (e.g. log-space in
+        # update_stabilized) — skip the linear pdf multiply entirely
+        return new_means_t.T, jnp.transpose(covs_new_t, (2, 0, 1)), eta
+    new_weights = weights * measurement_pdf.pdf(eta)
     return (
         new_means_t.T,
         jnp.transpose(covs_new_t, (2, 0, 1)),
@@ -281,15 +286,16 @@ def update_stabilized(
 ) -> GSUKFState:
     """Local UKF update + log-space global weight update (the stable form
     of the reference's ad-hoc /=1e3 rescale, SURVEY.md Appendix A)."""
-    new = update(state, u, z, g, measurement_pdf)
-    # redo the weight part in log space
-    y_means = jax.vmap(g, in_axes=(0, None))(new.means, u)
-    logw = jnp.log(jnp.maximum(state.weights, 1e-38)) + measurement_pdf.logpdf(
-        z - y_means
+    means, covs, eta = update_core(
+        state.means, state.covariances, state.weights, u, z, g,
+        measurement_pdf, return_eta=True,
     )
+    logw = jnp.log(jnp.maximum(state.weights, 1e-38)) + measurement_pdf.logpdf(eta)
     logw = logw - jnp.max(logw)
     w = jnp.exp(logw)
-    return new.replace(weights=w / jnp.sum(w))
+    return GSUKFState(
+        means=means, covariances=covs, weights=w / jnp.sum(w), key=state.key
+    )
 
 
 def resample(state: GSUKFState) -> GSUKFState:

@@ -159,7 +159,7 @@ def _compact(vals8, n_pad, window, interpret=False):
         in_specs=[
             pl.BlockSpec((8, w), lambda j: (0, j), memory_space=pltpu.VMEM)
         ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_shape=[jax.ShapeDtypeStruct((8, n_pad), jnp.float32)],
         scratch_shapes=[
             pltpu.VMEM((2, 8, wd), jnp.float32),  # staging (double-buffered)
@@ -226,7 +226,7 @@ def _expand(stream, lo_aligned, n, block, w_exp, interpret=False):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_chunks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((b, 8), lambda c, lo: (c, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, 8, w_exp), jnp.float32),

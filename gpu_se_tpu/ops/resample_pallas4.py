@@ -210,7 +210,7 @@ def _run_main_kernel(tiled, base_tile, n, tpb, wt, interpret):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec((tpb, 8 * LANES), lambda j, base: (j, 0),
                          memory_space=pltpu.VMEM),
@@ -398,9 +398,9 @@ def _compact(tiled, n, wt_out, interpret):
         in_specs=[
             pl.BlockSpec((tiles_per_step, 8 * LANES), lambda j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # aliased prefill
+            pl.BlockSpec(memory_space=pl.ANY),   # aliased prefill
         ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_shape=[
             jax.ShapeDtypeStruct((t_alloc_out, 8 * LANES), jnp.float32),
         ],
@@ -422,12 +422,17 @@ def _compact(tiled, n, wt_out, interpret):
 # ----------------------------------------------------------------------
 def v4_applicable(first_leaf, n: int, block: int = 4096) -> bool:
     """Shape gate for the tiled kernel: (n, nx<=5) payload (rows 5/6/7
-    of the tile carry index/ends/span), n a multiple of the block."""
+    of the tile carry index/ends/span), n a multiple of the block.
+
+    Upper bound n <= 2^24: indices, ends, and slot thresholds ride in
+    f32 tile rows, which is only exact for integers <= 2^24 — beyond
+    that the kernel would be silently wrong, so fall back to XLA."""
     return (
         first_leaf.ndim == 2
         and first_leaf.shape[1] <= IDX_ROW
         and n % block == 0
         and n >= block
+        and n <= 2**24
     )
 
 
@@ -446,6 +451,7 @@ def pallas_systematic_resample_tiled(
     """
     n, nx = particles.shape
     assert nx <= IDX_ROW, f"payload of {nx} cols exceeds {IDX_ROW}"
+    assert n <= 2**24, f"n={n}: f32 index rows are only exact to 2^24"
     b = block
     assert b % LANES == 0 and n % b == 0 and n >= b
     tpb = b // LANES

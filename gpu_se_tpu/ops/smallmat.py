@@ -160,7 +160,14 @@ def cholesky_small_lanes(covs: jnp.ndarray) -> jnp.ndarray:
 
 
 def inv_small_lanes(mats: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of (n, n, ...) matrices (matrix dims leading), n in {1, 2}."""
+    """Inverse of (n, n, ...) matrices (matrix dims leading).
+
+    n in {1, 2} is fully unrolled in the lanes-last layout; larger n
+    round-trips through :func:`inv_small` (matrix dims trailing) so any
+    measurement dimension works (the reference handles arbitrary ny via
+    pinv, /root/reference/filter/gs_ukf.py:134). The transpose cost only
+    applies to ny >= 3 models, which are off the hot benchmark path.
+    """
     n = mats.shape[0]
     if n == 1:
         return 1.0 / mats
@@ -173,7 +180,9 @@ def inv_small_lanes(mats: jnp.ndarray) -> jnp.ndarray:
             jnp.stack([d * inv_det, -b * inv_det]),
             jnp.stack([-c * inv_det, a * inv_det]),
         ])
-    raise NotImplementedError(f"inv_small_lanes: n={n}")
+    batched = jnp.moveaxis(jnp.moveaxis(mats, 0, -1), 0, -1)  # (..., n, n)
+    out = inv_small(batched)
+    return jnp.moveaxis(jnp.moveaxis(out, -1, 0), -1, 0)
 
 
 def inv_small_jittered_lanes(mats: jnp.ndarray,

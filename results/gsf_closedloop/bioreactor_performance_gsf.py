@@ -70,8 +70,12 @@ def get_sim_summary_device(N_particles, dt_control, dt_predict,
     rec, f0 = forced(est.state, x0, key)
     float(f0)
     float(null())
+    # Timed call must NOT be byte-identical to the warm-up: the relay
+    # replay-caches identical (executable, inputs) calls across processes
+    # (CLAUDE.md timing minefield #1). Seed it from the wall clock.
+    timed_key = jax.random.PRNGKey(int(time.time_ns()) % (2**31 - 1))
     t0 = time.perf_counter()
-    _, f1 = forced(est.state, x0, key)
+    _, f1 = forced(est.state, x0, timed_key)
     float(f1)
     t1 = time.perf_counter()
     float(null())

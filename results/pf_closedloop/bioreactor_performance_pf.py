@@ -87,8 +87,12 @@ def get_sim_summary_device(N_particles, dt_control, dt_predict,
     rec, f0 = forced(est.state, x0, key)          # compile + warm
     float(f0)
     float(null())
+    # Timed call must NOT be byte-identical to the warm-up: the relay
+    # replay-caches identical (executable, inputs) calls across processes
+    # (CLAUDE.md timing minefield #1). Seed it from the wall clock.
+    timed_key = jax.random.PRNGKey(int(time.time_ns()) % (2**31 - 1))
     t0 = time.perf_counter()
-    _, f1 = forced(est.state, x0, key)
+    _, f1 = forced(est.state, x0, timed_key)
     float(f1)
     t1 = time.perf_counter()
     float(null())
@@ -97,7 +101,7 @@ def get_sim_summary_device(N_particles, dt_control, dt_predict,
 
     xs = np.asarray(rec.xs)
     xs_f = np.asarray(rec.xs_f)
-    ys = np.stack([np.asarray(bio.all_outputs(jnp.asarray(x))) for x in []])         if False else np.asarray(jax.vmap(bio.all_outputs)(jnp.asarray(xs)))
+    ys = np.asarray(jax.vmap(bio.all_outputs)(jnp.asarray(xs)))
     ys_f = np.asarray(jax.vmap(bio.all_outputs)(jnp.asarray(xs_f)))
     sel = np.asarray(lin_model.outputs, dtype=int)
     perf = sim.performance(ys[:, sel], ys_f[:, sel], ts[1:])

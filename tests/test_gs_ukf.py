@@ -245,3 +245,42 @@ def test_lanes_smallmat_mirrors_batched_exactly():
     sing[0] = [[1, 1], [1, 1]]
     js = np.asarray(inv_small_jittered_lanes(jnp.asarray(sing.transpose(1, 2, 0))))
     assert np.isfinite(js).all()
+
+
+def test_inv_small_lanes_general_n():
+    """ny >= 3 models must not crash (ADVICE r4 medium #1): the lanes
+    inverse round-trips through the batched layout for n >= 3."""
+    import numpy as np
+    from gpu_se_tpu.ops.smallmat import inv_small_lanes, inv_small_jittered_lanes
+
+    rng = np.random.default_rng(1)
+    for n in (3, 4):
+        m = rng.standard_normal((32, n, n)).astype(np.float32)
+        m = m @ np.swapaxes(m, 1, 2) + n * np.eye(n, dtype=np.float32)
+        inv = np.asarray(inv_small_lanes(jnp.asarray(m.transpose(1, 2, 0))))
+        inv = inv.transpose(2, 0, 1)
+        np.testing.assert_allclose(
+            inv @ m, np.broadcast_to(np.eye(n), (32, n, n)), atol=2e-4)
+        invj = np.asarray(
+            inv_small_jittered_lanes(jnp.asarray(m.transpose(1, 2, 0)))
+        ).transpose(2, 0, 1)
+        np.testing.assert_array_equal(inv, invj)
+
+
+def test_update_stabilized_matches_update_moments():
+    """update_stabilized (single update_core pass, round-5 refactor)
+    produces the same means/covs as update and normalized log-space
+    weights proportional to update's linear weights."""
+    f, g, x0, state_pdf, measurement_pdf = toy_parts()
+    gsf = GaussianSumUnscentedKalmanFilter(
+        f, g, 16, x0, state_pdf, measurement_pdf, seed=7)
+    state = gsf.state
+    u, z = jnp.array([0.1, 0.2]), jnp.array([10.5])
+    lin = gs_ukf.update(state, u, z, g, measurement_pdf)
+    stab = gs_ukf.update_stabilized(state, u, z, g, measurement_pdf)
+    np.testing.assert_array_equal(np.asarray(lin.means), np.asarray(stab.means))
+    np.testing.assert_array_equal(
+        np.asarray(lin.covariances), np.asarray(stab.covariances))
+    wl = np.asarray(lin.weights, dtype=np.float64)
+    wl = wl / wl.sum()
+    np.testing.assert_allclose(wl, np.asarray(stab.weights), rtol=2e-4, atol=1e-7)
