@@ -324,6 +324,235 @@ def _distributed_systematic_resample_kernel(
     return new_tree, new_weights
 
 
+# ----------------------------------------------------------------------
+# Round-5 protocol: compact -> block-range exchange -> one local merge.
+#
+# The round-2/3 rings above move EVERY block through EVERY chip (O(W *
+# n_local) ICI bytes and W sequential scatter rounds) — modeled at 19-29%
+# strong-scaling efficiency (results/artifacts/SCALING_MODEL.json, round
+# 4). This protocol exploits two structural facts of systematic
+# resampling:
+#
+# 1. Only SURVIVORS (entries with ``ends[k] > ends[k-1]``) can be
+#    ancestors, and their covered-slot intervals [first_k, last_k] =
+#    [ends[k-1]+1, ends[k]] partition the global slot space.
+# 2. A destination shard's n_local slots therefore intersect a set of
+#    survivors that (a) numbers at most n_local (each covers >=1 of its
+#    slots) and (b) forms one contiguous run per source shard.
+#
+# So the exchange is a RAGGED ALL-TO-ALL of contiguous survivor runs:
+# O(n_local) received rows per chip, O(boundary) bytes on the wire in
+# the non-adversarial regimes (survivors destined to their own shard
+# never transit). After the exchange each shard holds a sorted compacted
+# payload covering exactly its slot range and finishes with ONE local
+# merge (seed scatter + cummax in XLA, or the v4 jumbo-window kernel —
+# strictly increasing ends guarantee its <=128-span compacted-path
+# invariant). Every stage is exact integer arithmetic on the
+# width-invariant ``_segmented_ends`` output, so results are bitwise
+# equal to the ring protocol and to the single-device step.
+#
+# ``lax.ragged_all_to_all`` has no XLA:CPU lowering, so the virtual-mesh
+# tests run a ppermute-ring EMULATION of the same exchange that produces
+# a bitwise-identical receive buffer (same runs, same offsets); the
+# collective choice is a lowering detail, not a semantic one.
+# ----------------------------------------------------------------------
+_IBIG = jnp.int32(2**30)     # int pad: > any global slot index
+
+
+def _compact_survivors(packed, ends, prev):
+    """Shard-local survivor compaction.
+
+    Returns ``(rows, ends, first)`` with survivors dense at the front in
+    ends order (strictly increasing) and int pads of ``_IBIG`` beyond —
+    the distributed analogue of the v4 compaction kernel's keep rule
+    (ops/resample_pallas4.py)."""
+    n_local = ends.shape[0]
+    prev_ends = jnp.concatenate([prev[None], ends[:-1]])
+    keep = ends > prev_ends
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    tgt = jnp.where(keep, pos, n_local)
+    surv_rows = jnp.zeros_like(packed).at[tgt].set(packed, mode="drop")
+    surv_ends = jnp.full((n_local,), _IBIG).at[tgt].set(ends, mode="drop")
+    surv_first = jnp.full((n_local,), _IBIG).at[tgt].set(
+        prev_ends + 1, mode="drop")
+    return surv_rows, surv_ends, surv_first
+
+
+def _send_windows(surv_ends, surv_first, n_local, n_shards):
+    """Per-destination contiguous run [lo, lo+size) of local survivors
+    whose slot interval intersects that destination's slot range.
+
+    ``lo = #{last < range_start}`` drops survivors wholly before the
+    range; ``hi = #{first < range_end}`` keeps those starting before its
+    end. Both arrays are sorted (strict ends order; _IBIG pads), so each
+    is one searchsorted."""
+    starts = jnp.arange(n_shards, dtype=jnp.int32) * n_local
+    lo = jnp.searchsorted(surv_ends, starts, side="left").astype(jnp.int32)
+    hi = jnp.searchsorted(surv_first, starts + n_local,
+                          side="left").astype(jnp.int32)
+    return lo, hi - lo
+
+
+def _exchange_ragged(surv_rows, surv_meta, in_off, send_sz, out_off,
+                     recv_sz, axis: str):
+    """The production exchange: one ragged all-to-all per buffer (rows
+    f32, meta int32). Unwritten receive entries keep the init values, so
+    the int pads double as the validity mask."""
+    rows = jax.lax.ragged_all_to_all(
+        surv_rows, jnp.zeros_like(surv_rows),
+        in_off, send_sz, out_off, recv_sz, axis_name=axis)
+    meta = jax.lax.ragged_all_to_all(
+        surv_meta, jnp.full_like(surv_meta, _IBIG),
+        in_off, send_sz, out_off, recv_sz, axis_name=axis)
+    return rows, meta
+
+
+def _exchange_ring(surv_rows, surv_meta, sizes_mat, off_mat, axis: str):
+    """CPU-testable ppermute-ring emulation of :func:`_exchange_ragged`:
+    rotates the survivor blocks and copies each visiting block's run for
+    THIS shard to the same receive offsets the ragged collective would
+    use — the receive buffers are bitwise identical."""
+    n_local = surv_rows.shape[0]
+    s_idx = jax.lax.axis_index(axis)
+    n_shards = jax.lax.axis_size(axis)
+    perm = _ring_perm(n_shards)
+    slot0 = s_idx * n_local
+
+    my_sizes = sizes_mat[:, s_idx]          # (W,) run length by source
+    my_offs = off_mat[:, s_idx]             # (W,) receive offset by source
+    out_rows = jnp.zeros_like(surv_rows)
+    out_meta = jnp.full_like(surv_meta, _IBIG)
+    i = jnp.arange(n_local, dtype=jnp.int32)
+
+    def round_body(rnd, carry):
+        vis_rows, vis_meta, out_rows, out_meta = carry
+        q = (s_idx - rnd) % n_shards
+        lo = jnp.searchsorted(vis_meta[:, 0], slot0,
+                              side="left").astype(jnp.int32)
+        size = jnp.take(my_sizes, q)
+        tgt = jnp.where((i >= lo) & (i < lo + size),
+                        jnp.take(my_offs, q) + i - lo, n_local)
+        out_rows = out_rows.at[tgt].set(vis_rows, mode="drop")
+        out_meta = out_meta.at[tgt].set(vis_meta, mode="drop")
+        vis_rows = jax.lax.ppermute(vis_rows, axis, perm)
+        vis_meta = jax.lax.ppermute(vis_meta, axis, perm)
+        return vis_rows, vis_meta, out_rows, out_meta
+
+    _, _, out_rows, out_meta = jax.lax.fori_loop(
+        0, n_shards, round_body, (surv_rows, surv_meta, out_rows, out_meta)
+    )
+    return out_rows, out_meta
+
+
+def _merge_received_xla(recv_rows, recv_ends, recv_first, slot0, n_local):
+    """One local merge: received survivor i seeds local slot
+    ``first_i - slot0`` (the boundary survivor clips to 0 — it is the
+    unique one with first < slot0), cummax fills coverage, one sorted
+    row gather materializes the output — the per-shard form of the
+    scatter+cummax inverse formulation (filters/resampling.py)."""
+    valid = recv_ends < _IBIG
+    j0 = jnp.clip(recv_first - slot0, 0, n_local - 1)
+    tgt = jnp.where(valid, j0, n_local)
+    seed = jnp.full((n_local,), jnp.int32(-1)).at[tgt].max(
+        jnp.arange(n_local, dtype=jnp.int32), mode="drop")
+    p = jax.lax.cummax(seed)
+    return sorted_row_gather(recv_rows, jnp.clip(p, 0, n_local - 1))
+
+
+def _merge_received_v4(recv_rows, recv_ends, slot0, n_local,
+                       interpret: bool):
+    """The same merge through the v4 jumbo-window kernel
+    (ops/resample_pallas4.py): received ends are strictly increasing, so
+    the compacted-path span bound (<=128 per tile) holds unconditionally.
+    Requires nx <= 5 and n_local % 4096 == 0 (the PF regime)."""
+    from gpu_se_tpu.ops import resample_pallas4 as v4
+
+    nx = recv_rows.shape[1]
+    tpb = 4096 // v4.LANES
+    wt = 3 * tpb + 8
+    t_data = n_local // v4.LANES
+    t_alloc = t_data + wt
+    nblocks = n_local // 4096
+
+    valid = recv_ends < _IBIG
+    # local coords; one survivor at most extends past the range — clip
+    # keeps compares for every local slot < n_local unchanged
+    ends_f = jnp.where(
+        valid, jnp.minimum(recv_ends - slot0, n_local).astype(jnp.float32),
+        v4.BIG)
+
+    p8 = jnp.zeros((8, t_alloc * v4.LANES), jnp.float32)
+    p8 = p8.at[:nx, :n_local].set(recv_rows.T)
+    p8 = p8.at[v4.ENDS_ROW].set(jnp.concatenate([
+        ends_f, jnp.full((t_alloc * v4.LANES - n_local,), v4.BIG)]))
+    tiled = (
+        p8.reshape(8, t_alloc, v4.LANES)
+        .transpose(1, 0, 2)
+        .reshape(t_alloc, 8 * v4.LANES)
+    )
+    qs = jnp.arange(nblocks + 1, dtype=jnp.int32)[:, None] * 4096
+    p_blk = jnp.sum(
+        (ends_f[::4096][None, :] < qs.astype(jnp.float32)).astype(jnp.int32),
+        axis=1)
+    base = jnp.clip((p_blk[:-1] - 1) * tpb, 0, t_alloc - wt).astype(jnp.int32)
+    out_tiled = v4._run_main_kernel(tiled, base, n_local, tpb, wt, interpret)
+    back = (
+        out_tiled.reshape(t_data, 8, v4.LANES)
+        .transpose(1, 0, 2)
+        .reshape(8, n_local)
+    )
+    return back[:nx].T
+
+
+def _distributed_systematic_resample_a2a(
+    pytree, weights, r, axis: str, *,
+    exchange: str = "ragged", merge: str = "xla", interpret: bool = False,
+):
+    """Compact -> block-range exchange -> one local merge (see the
+    section comment above). Bitwise-equal to
+    :func:`_distributed_systematic_resample` for any weights.
+
+    ``exchange``: "ragged" (lax.ragged_all_to_all; TPU) or "ring"
+    (ppermute emulation; any backend). ``merge``: "xla" or "v4"
+    (single-leaf nx<=5 payload, n_local % 4096 == 0)."""
+    from gpu_se_tpu.ops.resample_pallas_block import pack_rows, unpack_rows
+
+    packed, meta = pack_rows(pytree)
+    n_local = weights.shape[0]
+    s_idx = jax.lax.axis_index(axis)
+    n_shards = jax.lax.axis_size(axis)
+    n_global = n_local * n_shards
+    slot0 = s_idx * n_local
+
+    ends, prev = _segmented_ends(weights, r, axis)
+    surv_rows, surv_ends, surv_first = _compact_survivors(packed, ends, prev)
+    in_off, send_sz = _send_windows(surv_ends, surv_first, n_local, n_shards)
+
+    sizes_mat = jax.lax.all_gather(send_sz, axis)       # (W, W) [src, dst]
+    csum = jnp.cumsum(sizes_mat, axis=0)
+    off_mat = csum - sizes_mat                          # exclusive by src
+    surv_meta = jnp.stack([surv_ends, surv_first], axis=1)
+
+    if exchange == "ragged":
+        out_off = off_mat[s_idx]
+        recv_sz = sizes_mat[:, s_idx]
+        recv_rows, recv_meta = _exchange_ragged(
+            surv_rows, surv_meta, in_off, send_sz, out_off, recv_sz, axis)
+    else:
+        recv_rows, recv_meta = _exchange_ring(
+            surv_rows, surv_meta, sizes_mat, off_mat, axis)
+
+    if merge == "v4":
+        new_packed = _merge_received_v4(
+            recv_rows, recv_meta[:, 0], slot0, n_local, interpret)
+    else:
+        new_packed = _merge_received_xla(
+            recv_rows, recv_meta[:, 0], recv_meta[:, 1], slot0, n_local)
+    new_tree = unpack_rows(new_packed, meta)
+    new_weights = jnp.full((n_local,), 1.0 / n_global, dtype=weights.dtype)
+    return new_tree, new_weights
+
+
 def _distributed_systematic_resample(pytree, weights, r, axis: str):
     """Systematic resample across shards of any pytree of (n_local, ...)
     arrays (particles for the PF; (means, covariances) for the GSUKF —
@@ -364,10 +593,21 @@ def make_shard_map_step(mesh: Mesh, f: Callable, g: Callable,
     whenever XLA keeps the elementwise math in the same order.
 
     ``resample_impl``: "xla" (scatter+ring, any pytree), "kernel" (fused
-    Pallas block-merge per shard, real TPU), or "kernel_interpret" (same
-    kernel via the Pallas interpreter — the CPU-mesh test path). All
-    three are bitwise-equal (integer ``ends`` merge domain).
+    Pallas block-merge per shard, real TPU), "kernel_interpret" (same
+    kernel via the Pallas interpreter — the CPU-mesh test path), or the
+    round-5 compact/exchange/merge protocol: "a2a" (ragged all-to-all +
+    v4 merge kernel, real TPU production), "a2a_xla" (ragged + XLA
+    merge), "a2a_ring" (ppermute-emulated exchange + XLA merge, any
+    backend), "a2a_ring_v4" (emulated exchange + v4 merge via the
+    interpreter — the CPU-mesh full-path test). All are bitwise-equal
+    (integer ``ends`` merge domain).
     """
+    _A2A = {
+        "a2a": ("ragged", "v4", False),
+        "a2a_xla": ("ragged", "xla", False),
+        "a2a_ring": ("ring", "xla", False),
+        "a2a_ring_v4": ("ring", "v4", True),
+    }
 
     def step(state: PFState, u, z, dt, state_pdf: GaussianSum,
              measurement_pdf: GaussianSum) -> PFState:
@@ -391,6 +631,12 @@ def make_shard_map_step(mesh: Mesh, f: Callable, g: Callable,
             if resample_impl == "xla":
                 particles, weights = _distributed_systematic_resample(
                     particles, weights, r, axis
+                )
+            elif resample_impl in _A2A:
+                exch, merge, interp = _A2A[resample_impl]
+                particles, weights = _distributed_systematic_resample_a2a(
+                    particles, weights, r, axis,
+                    exchange=exch, merge=merge, interpret=interp,
                 )
             else:
                 particles, weights = _distributed_systematic_resample_kernel(
@@ -498,6 +744,14 @@ def make_shard_map_gsukf_step(mesh: Mesh, f: Callable, g: Callable,
             if resample_impl == "xla":
                 (means, covs), weights = _distributed_systematic_resample(
                     (means, covs), weights, r, axis
+                )
+            elif resample_impl in ("a2a", "a2a_ring"):
+                # multi-leaf bank packs to 30 cols > the v4 kernel's 5,
+                # so the a2a protocol merges in XLA here
+                (means, covs), weights = _distributed_systematic_resample_a2a(
+                    (means, covs), weights, r, axis,
+                    exchange=("ragged" if resample_impl == "a2a" else "ring"),
+                    merge="xla",
                 )
             else:
                 (means, covs), weights = _distributed_systematic_resample_kernel(

@@ -402,6 +402,195 @@ def test_2e24_resample_width_invariance_and_memory(rig):
     assert np.isfinite(got8).all()
 
 
+def _raw_distributed_resample(nd, n, parts_np, w_np, r, impl):
+    """Run one raw distributed resample (no predict/update) on a width-nd
+    mesh and return the gathered rows."""
+    from functools import partial
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax import shard_map
+
+    from gpu_se_tpu.parallel.sharded import (
+        _distributed_systematic_resample,
+        _distributed_systematic_resample_a2a,
+    )
+    from gpu_se_tpu.parallel.mesh import PARTICLE_AXIS
+
+    mesh = make_mesh(nd)
+    p_sh = NamedSharding(mesh, P(PARTICLE_AXIS, None))
+    w_sh = NamedSharding(mesh, P(PARTICLE_AXIS))
+    r_sh = NamedSharding(mesh, P())
+
+    @partial(jax.jit, in_shardings=(p_sh, w_sh, r_sh),
+             out_shardings=(p_sh, w_sh))
+    def res(parts, w, r):
+        @partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(PARTICLE_AXIS, None), P(PARTICLE_AXIS), P()),
+            out_specs=(P(PARTICLE_AXIS, None), P(PARTICLE_AXIS)),
+            check_vma=False,
+        )
+        def body(parts, w, r):
+            if impl == "xla":
+                return _distributed_systematic_resample(
+                    parts, w, r, PARTICLE_AXIS)
+            exch, merge, interp = {
+                "a2a_ring": ("ring", "xla", False),
+                "a2a_ring_v4": ("ring", "v4", True),
+            }[impl]
+            return _distributed_systematic_resample_a2a(
+                parts, w, r, PARTICLE_AXIS,
+                exchange=exch, merge=merge, interpret=interp)
+        return body(parts, w, r)
+
+    parts = jax.device_put(jnp.asarray(parts_np), p_sh)
+    w = jax.device_put(jnp.asarray(w_np), w_sh)
+    out, _ = res(parts, w, jnp.float32(r))
+    return np.asarray(out)
+
+
+def _weight_families(n, rng):
+    one_hot_mid = np.zeros(n, np.float32)
+    one_hot_mid[n // 2] = 1.0
+    one_hot_last = np.zeros(n, np.float32)
+    one_hot_last[-1] = 1.0
+    blocks = rng.random(n).astype(np.float32)
+    blocks[: n // 3] = 0.0
+    blocks[2 * n // 3:] = 0.0
+    heavy = np.exp(8.0 * rng.standard_normal(n)).astype(np.float32)
+    return {
+        "uniform": np.full(n, 1.0 / n, np.float32),
+        "one_hot_mid": one_hot_mid,
+        "one_hot_last": one_hot_last,
+        "zero_blocks": blocks / blocks.sum(),
+        "heavy_tail": heavy / heavy.sum(),
+    }
+
+
+def test_a2a_resample_matches_ring_all_weight_families():
+    """Round-5 compact/exchange/merge protocol == ring protocol,
+    BITWISE, for every weight family (uniform, point masses, zeroed
+    blocks, heavy tails) at every mesh width — both the XLA merge and
+    the v4-kernel merge (interpreted).
+
+    The baseline is the RING protocol on the same raw weights: both
+    consume the identical width-invariant ``_segmented_ends``; the
+    single-device ``systematic_resample_indices`` groups its f32 cumsum
+    differently and may differ by an ulp-shifted boundary (observed: 20
+    rows of 2^14 in the zero_blocks family) — a formulation difference,
+    not a protocol bug (cf. test_big_n_shard_map_matches_single_device_
+    moments)."""
+    n = 2 ** 14
+    rng = np.random.default_rng(0)
+    parts_np = rng.standard_normal((n, 5)).astype(np.float32)
+    r = 0.417
+
+    for name, w_np in _weight_families(n, rng).items():
+        expected = _raw_distributed_resample(1, n, parts_np, w_np, r, "xla")
+        for nd in (1, 2, 4, 8):
+            for impl in ("a2a_ring", "a2a_ring_v4"):
+                if impl == "a2a_ring_v4" and (n // nd) % 4096 != 0:
+                    continue
+                got = _raw_distributed_resample(
+                    nd, n, parts_np, w_np, r, impl)
+                np.testing.assert_array_equal(
+                    got, expected,
+                    err_msg=f"{impl} W={nd} family={name}")
+
+
+def test_a2a_full_step_width_invariance_2e23(rig):
+    """The a2a protocol at the 2^23 multi-chip scale: the full shard_map
+    step (resample_impl='a2a_ring') is bitwise width-invariant — the
+    round-5 'done' gate from VERDICT next-round #1.
+
+    NOT asserted: bitwise equality of the a2a and ring FULL steps.
+    Different resample consumers change how XLA fuses the upstream
+    predict/update, reordering the f32 weight arithmetic by ulps, which
+    legitimately moves degenerate-regime resample boundaries (~18% of
+    rows observed in this rig). The protocols' bitwise equality on
+    identical raw weights is test_a2a_resample_matches_ring_all_weight_
+    families."""
+    n = 2 ** 23
+    state = pf_core.init(jax.random.PRNGKey(5), n, rig["x0"])
+    results = []
+    for nd in (2, 8):
+        mesh = make_mesh(nd)
+        step = make_shard_map_step(mesh, rig["f"], rig["g"],
+                                   resample_impl="a2a_ring")
+        out = step(
+            shard_pf_state(state, mesh), rig["u"], rig["z"], jnp.float32(0.1),
+            rig["state_pdf"], rig["meas_pdf"],
+        )
+        results.append(np.asarray(out.particles))
+        del out
+    np.testing.assert_array_equal(results[0], results[1])
+    assert np.isfinite(results[0]).all()
+
+
+def test_a2a_memory_stays_local_2e24(rig):
+    """The a2a exchange never materializes the global pool: per-shard
+    temp memory of the compiled 2^24 resample stays O(n_global/W), the
+    same bound the ring path is pinned to."""
+    from functools import partial
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax import shard_map
+
+    from gpu_se_tpu.parallel.sharded import _distributed_systematic_resample_a2a
+    from gpu_se_tpu.parallel.mesh import PARTICLE_AXIS
+
+    n = 2 ** 24
+    mesh = make_mesh(8)
+    p_sh = NamedSharding(mesh, P(PARTICLE_AXIS, None))
+    w_sh = NamedSharding(mesh, P(PARTICLE_AXIS))
+    r_sh = NamedSharding(mesh, P())
+
+    @partial(jax.jit, in_shardings=(p_sh, w_sh, r_sh),
+             out_shardings=(p_sh, w_sh))
+    def res(parts, w, r):
+        @partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(PARTICLE_AXIS, None), P(PARTICLE_AXIS), P()),
+            out_specs=(P(PARTICLE_AXIS, None), P(PARTICLE_AXIS)),
+            check_vma=False,
+        )
+        def body(parts, w, r):
+            return _distributed_systematic_resample_a2a(
+                parts, w, r, PARTICLE_AXIS, exchange="ring", merge="xla")
+        return body(parts, w, r)
+
+    key = jax.random.PRNGKey(7)
+    parts = jax.device_put(jax.random.normal(key, (n, 5), jnp.float32), p_sh)
+    w = jax.device_put(jnp.exp(4.0 * jnp.tanh(parts[:, 0]) ** 2), w_sh)
+    ma = res.lower(parts, w, jnp.float32(0.417)).compile().memory_analysis()
+    if ma is not None and ma.temp_size_in_bytes:
+        n_local_bytes = (n // 8) * 5 * 4
+        assert ma.temp_size_in_bytes < n * 5 * 4
+        assert ma.temp_size_in_bytes < 6 * n_local_bytes
+    out, _ = res(parts, w, jnp.float32(0.417))
+    assert np.isfinite(np.asarray(out[:16])).all()
+
+
+def test_gsukf_a2a_matches_xla_ring(rig):
+    """The GSUKF bank (multi-leaf pytree, 30 packed cols) through the a2a
+    protocol matches the ring protocol bitwise."""
+    from gpu_se_tpu.filters import gs_ukf
+    from gpu_se_tpu.parallel import make_shard_map_gsukf_step, shard_gsukf_state
+
+    n = 64
+    state = gs_ukf.init(jax.random.PRNGKey(1), n, rig["x0"], rig["state_pdf"])
+    outs = []
+    for impl in ("xla", "a2a_ring"):
+        mesh = make_mesh(8)
+        stepm = make_shard_map_gsukf_step(mesh, rig["f"], rig["g"],
+                                          resample_impl=impl)
+        out = stepm(
+            shard_gsukf_state(state, mesh), rig["u"], rig["z"], jnp.float32(0.1),
+            rig["state_pdf"], rig["meas_pdf"],
+        )
+        outs.append((np.asarray(out.means), np.asarray(out.covariances)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
+
 def test_non_power_of_two_mesh_width(rig):
     """The ring protocol assumes nothing about the mesh width: width 3
     (non-power-of-two, non-divisor of 8) agrees with width 1 bitwise
