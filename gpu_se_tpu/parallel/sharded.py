@@ -386,9 +386,11 @@ def _send_windows(surv_ends, surv_first, n_local, n_shards):
     range; ``hi = #{first < range_end}`` keeps those starting before its
     end. Both arrays are sorted (strict ends order; _IBIG pads), so each
     is one searchsorted."""
-    starts = jnp.arange(n_shards, dtype=jnp.int32) * n_local
+    starts = (jnp.arange(n_shards, dtype=jnp.int32) * n_local).astype(
+        surv_ends.dtype)
+    nl = jnp.asarray(n_local, surv_ends.dtype)
     lo = jnp.searchsorted(surv_ends, starts, side="left").astype(jnp.int32)
-    hi = jnp.searchsorted(surv_first, starts + n_local,
+    hi = jnp.searchsorted(surv_first, starts + nl,
                           side="left").astype(jnp.int32)
     return lo, hi - lo
 
@@ -459,6 +461,81 @@ def _merge_received_xla(recv_rows, recv_ends, recv_first, slot0, n_local):
     return sorted_row_gather(recv_rows, jnp.clip(p, 0, n_local - 1))
 
 
+def _compact_survivors_v4(particles, ends, prev, interpret: bool):
+    """Shard-local survivor compaction through the v4 block-vectorized
+    compaction kernel (ops/resample_pallas4.py) — no XLA scatter (the
+    seed-scatter lowering costs ~7.8 ms at 2^20 on v5e; the kernel
+    streams the tiled payload at ~0.9 ms).
+
+    The kernel's keep rule initializes its running max at -1, so the
+    global ends are shifted to local coordinates ``ends - (prev + 1)``
+    first (an order-preserving shift: ``e_k > e_{k-1}`` and ``e_k > -1``
+    iff the global relations hold) and shifted back after.
+
+    Returns ``(surv_rows (n_local, nx) f32, surv_ends (n_local,) f32)``
+    with survivors dense at the front and ``BIG`` pads beyond. Requires
+    ``nx <= 5``, ``n_local % 4096 == 0``, global slots <= 2^24 (f32
+    exactness)."""
+    from gpu_se_tpu.ops import resample_pallas4 as v4
+
+    n_local, nx = particles.shape
+    t_data = n_local // v4.LANES
+    shift = prev + 1
+    ends_f = (ends - shift).astype(jnp.float32)
+
+    p8 = jnp.zeros((8, t_data * v4.LANES), jnp.float32)
+    p8 = p8.at[:nx].set(particles.T)
+    p8 = p8.at[v4.ENDS_ROW].set(ends_f)
+    tiled = (
+        p8.reshape(8, t_data, v4.LANES)
+        .transpose(1, 0, 2)
+        .reshape(t_data, 8 * v4.LANES)
+    )
+    ctiled = v4._compact(tiled, n_local, 0, interpret)
+    back = (
+        ctiled.reshape(-1, 8, v4.LANES)
+        .transpose(1, 0, 2)
+        .reshape(8, -1)
+    )
+    surv_rows = back[:nx, :n_local].T
+    c_ends = back[v4.ENDS_ROW, :n_local]
+    surv_ends = jnp.where(
+        c_ends < v4.BIG * 0.5, c_ends + shift.astype(jnp.float32), v4.BIG)
+    return surv_rows, surv_ends
+
+
+def _exchange_ring_f32(surv_buf, sizes_mat, off_mat, axis: str):
+    """Ring emulation of the ragged exchange for the single packed f32
+    buffer of the v4-compaction path (ends in the last column)."""
+    n_local = surv_buf.shape[0]
+    s_idx = jax.lax.axis_index(axis)
+    n_shards = jax.lax.axis_size(axis)
+    perm = _ring_perm(n_shards)
+    slot0_f = (s_idx * n_local).astype(jnp.float32)
+
+    my_sizes = sizes_mat[:, s_idx]
+    my_offs = off_mat[:, s_idx]
+    init = jnp.zeros_like(surv_buf)
+    from gpu_se_tpu.ops.resample_pallas4 import BIG
+    init = init.at[:, -1].set(BIG)
+    i = jnp.arange(n_local, dtype=jnp.int32)
+
+    def round_body(rnd, carry):
+        vis, out = carry
+        q = (s_idx - rnd) % n_shards
+        lo = jnp.searchsorted(vis[:, -1], slot0_f,
+                              side="left").astype(jnp.int32)
+        size = jnp.take(my_sizes, q)
+        tgt = jnp.where((i >= lo) & (i < lo + size),
+                        jnp.take(my_offs, q) + i - lo, n_local)
+        out = out.at[tgt].set(vis, mode="drop")
+        vis = jax.lax.ppermute(vis, axis, perm)
+        return vis, out
+
+    _, out = jax.lax.fori_loop(0, n_shards, round_body, (surv_buf, init))
+    return out
+
+
 def _merge_received_v4(recv_rows, recv_ends, slot0, n_local,
                        interpret: bool):
     """The same merge through the v4 jumbo-window kernel
@@ -474,12 +551,15 @@ def _merge_received_v4(recv_rows, recv_ends, slot0, n_local,
     t_alloc = t_data + wt
     nblocks = n_local // 4096
 
-    valid = recv_ends < _IBIG
+    if jnp.issubdtype(recv_ends.dtype, jnp.floating):
+        valid = recv_ends < v4.BIG * 0.5
+        shifted = recv_ends - slot0.astype(jnp.float32)
+    else:
+        valid = recv_ends < _IBIG
+        shifted = (recv_ends - slot0).astype(jnp.float32)
     # local coords; one survivor at most extends past the range — clip
     # keeps compares for every local slot < n_local unchanged
-    ends_f = jnp.where(
-        valid, jnp.minimum(recv_ends - slot0, n_local).astype(jnp.float32),
-        v4.BIG)
+    ends_f = jnp.where(valid, jnp.minimum(shifted, float(n_local)), v4.BIG)
 
     p8 = jnp.zeros((8, t_alloc * v4.LANES), jnp.float32)
     p8 = p8.at[:nx, :n_local].set(recv_rows.T)
@@ -506,7 +586,8 @@ def _merge_received_v4(recv_rows, recv_ends, slot0, n_local,
 
 def _distributed_systematic_resample_a2a(
     pytree, weights, r, axis: str, *,
-    exchange: str = "ragged", merge: str = "xla", interpret: bool = False,
+    exchange: str = "ragged", merge: str = "xla", compact: str = "xla",
+    interpret: bool = False,
 ):
     """Compact -> block-range exchange -> one local merge (see the
     section comment above). Bitwise-equal to
@@ -514,7 +595,10 @@ def _distributed_systematic_resample_a2a(
 
     ``exchange``: "ragged" (lax.ragged_all_to_all; TPU) or "ring"
     (ppermute emulation; any backend). ``merge``: "xla" or "v4"
-    (single-leaf nx<=5 payload, n_local % 4096 == 0)."""
+    (single-leaf nx<=5 payload, n_local % 4096 == 0). ``compact``:
+    "xla" (scatter) or "v4" (the v4 compaction kernel — scatter-free;
+    implies merge="v4" and the same shape gate plus n_global <= 2^24
+    for f32 ends exactness)."""
     from gpu_se_tpu.ops.resample_pallas_block import pack_rows, unpack_rows
 
     packed, meta = pack_rows(pytree)
@@ -525,6 +609,47 @@ def _distributed_systematic_resample_a2a(
     slot0 = s_idx * n_local
 
     ends, prev = _segmented_ends(weights, r, axis)
+
+    if compact == "v4":
+        # scatter-free kernel pipeline: f32 ends ride as the last column
+        # of ONE exchanged buffer; firsts are derived (consecutive
+        # survivors), not exchanged
+        assert merge == "v4", "compact='v4' implies merge='v4'"
+        surv_rows, surv_ends = _compact_survivors_v4(
+            packed, ends, prev, interpret)
+        from gpu_se_tpu.ops.resample_pallas4 import BIG
+
+        # derived firsts are only real where the entry ITSELF is real:
+        # the first pad would otherwise inherit last_end + 1 from the
+        # final survivor and get sent as a phantom row (likewise first_0
+        # on a zero-survivor shard)
+        surv_first = jnp.where(
+            surv_ends < BIG * 0.5,
+            jnp.concatenate([
+                (prev + 1).astype(jnp.float32)[None], surv_ends[:-1] + 1.0]),
+            BIG)
+        in_off, send_sz = _send_windows(
+            surv_ends, surv_first, n_local, n_shards)
+        sizes_mat = jax.lax.all_gather(send_sz, axis)
+        csum = jnp.cumsum(sizes_mat, axis=0)
+        off_mat = csum - sizes_mat
+        surv_buf = jnp.concatenate([surv_rows, surv_ends[:, None]], axis=1)
+        if exchange == "ragged":
+            from gpu_se_tpu.ops.resample_pallas4 import BIG
+
+            init = jnp.zeros_like(surv_buf).at[:, -1].set(BIG)
+            recv = jax.lax.ragged_all_to_all(
+                surv_buf, init, in_off, send_sz,
+                off_mat[s_idx], sizes_mat[:, s_idx], axis_name=axis)
+        else:
+            recv = _exchange_ring_f32(surv_buf, sizes_mat, off_mat, axis)
+        new_packed = _merge_received_v4(
+            recv[:, :-1], recv[:, -1], slot0, n_local, interpret)
+        new_tree = unpack_rows(new_packed, meta)
+        new_weights = jnp.full(
+            (n_local,), 1.0 / n_global, dtype=weights.dtype)
+        return new_tree, new_weights
+
     surv_rows, surv_ends, surv_first = _compact_survivors(packed, ends, prev)
     in_off, send_sz = _send_windows(surv_ends, surv_first, n_local, n_shards)
 
@@ -602,11 +727,11 @@ def make_shard_map_step(mesh: Mesh, f: Callable, g: Callable,
     interpreter — the CPU-mesh full-path test). All are bitwise-equal
     (integer ``ends`` merge domain).
     """
-    _A2A = {
-        "a2a": ("ragged", "v4", False),
-        "a2a_xla": ("ragged", "xla", False),
-        "a2a_ring": ("ring", "xla", False),
-        "a2a_ring_v4": ("ring", "v4", True),
+    _A2A = {  # (exchange, merge, compact, interpret)
+        "a2a": ("ragged", "v4", "v4", False),
+        "a2a_xla": ("ragged", "xla", "xla", False),
+        "a2a_ring": ("ring", "xla", "xla", False),
+        "a2a_ring_v4": ("ring", "v4", "v4", True),
     }
 
     def step(state: PFState, u, z, dt, state_pdf: GaussianSum,
@@ -633,10 +758,11 @@ def make_shard_map_step(mesh: Mesh, f: Callable, g: Callable,
                     particles, weights, r, axis
                 )
             elif resample_impl in _A2A:
-                exch, merge, interp = _A2A[resample_impl]
+                exch, merge, comp, interp = _A2A[resample_impl]
                 particles, weights = _distributed_systematic_resample_a2a(
                     particles, weights, r, axis,
-                    exchange=exch, merge=merge, interpret=interp,
+                    exchange=exch, merge=merge, compact=comp,
+                    interpret=interp,
                 )
             else:
                 particles, weights = _distributed_systematic_resample_kernel(

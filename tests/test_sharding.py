@@ -433,13 +433,13 @@ def _raw_distributed_resample(nd, n, parts_np, w_np, r, impl):
             if impl == "xla":
                 return _distributed_systematic_resample(
                     parts, w, r, PARTICLE_AXIS)
-            exch, merge, interp = {
-                "a2a_ring": ("ring", "xla", False),
-                "a2a_ring_v4": ("ring", "v4", True),
+            exch, merge, comp, interp = {
+                "a2a_ring": ("ring", "xla", "xla", False),
+                "a2a_ring_v4": ("ring", "v4", "v4", True),
             }[impl]
             return _distributed_systematic_resample_a2a(
                 parts, w, r, PARTICLE_AXIS,
-                exchange=exch, merge=merge, interpret=interp)
+                exchange=exch, merge=merge, compact=comp, interpret=interp)
         return body(parts, w, r)
 
     parts = jax.device_put(jnp.asarray(parts_np), p_sh)
