@@ -584,6 +584,218 @@ def _merge_received_v4(recv_rows, recv_ends, slot0, n_local,
     return back[:nx].T
 
 
+# ----------------------------------------------------------------------
+# Production PF pipeline: everything stays in the v4 (T, 1024) tiled
+# layout end to end — compaction kernel output IS the exchange operand
+# IS the merge kernel input.
+#
+# Why tiles: XLA's TPU RaggedAllToAll costs ~6 ns per operand ROW
+# independent of row width (measured, scripts/probe_a2a_anchors.out), so
+# exchanging (n_local, 6) survivor rows costs ~6 ms at 2^20 while the
+# same bytes as (n_local/128, 1024) tile rows cost ~0.05 ms. Runs are
+# tile-rounded; the pad lanes this drags along have their ends rewritten
+# at the SENDER to duplicate the previous real end, which keeps the
+# received ends sequence sorted, and a duplicate can never be the first
+# entry >= a slot (its real twin precedes it), so the positional merge
+# is unaffected. Duplicates can inflate a 128-slot window's entry count
+# past the merge kernel's 384-entry reach only when several sources'
+# tail tiles cluster in one window — a cheap span guard falls back to a
+# shard-local XLA merge for that rare case (no collectives in either
+# branch, so the divergent cond is safe under shard_map).
+# ----------------------------------------------------------------------
+def _a2a_tiled_ring(ctiled, in_off, sizes_t, off_t, t_recv, axis: str):
+    """ppermute emulation of the tile-granular ragged exchange (CPU
+    path): rotates the tiled blocks and each source's (W,) in_off row,
+    producing the bitwise-identical receive buffer."""
+    from gpu_se_tpu.ops.resample_pallas4 import BIG, ENDS_ROW, LANES
+
+    s_idx = jax.lax.axis_index(axis)
+    n_shards = jax.lax.axis_size(axis)
+    perm = _ring_perm(n_shards)
+
+    my_sizes = sizes_t[:, s_idx]
+    my_offs = off_t[:, s_idx]
+    init = jnp.zeros((t_recv, 8 * LANES), jnp.float32)
+    init = init.at[:, ENDS_ROW * LANES:(ENDS_ROW + 1) * LANES].set(BIG)
+    rows = jnp.arange(ctiled.shape[0], dtype=jnp.int32)
+
+    def round_body(rnd, carry):
+        vis, vis_inoff, out = carry
+        q = (s_idx - rnd) % n_shards
+        size = jnp.take(my_sizes, q)
+        lo = jnp.take(vis_inoff, s_idx)
+        tgt = jnp.where((rows >= lo) & (rows < lo + size),
+                        jnp.take(my_offs, q) + rows - lo, t_recv)
+        out = out.at[tgt].set(vis, mode="drop")
+        vis = jax.lax.ppermute(vis, axis, perm)
+        vis_inoff = jax.lax.ppermute(vis_inoff, axis, perm)
+        return vis, vis_inoff, out
+
+    _, _, out = jax.lax.fori_loop(
+        0, n_shards, round_body, (ctiled, in_off, init))
+    return out
+
+
+def _merge_received_v4_tiled(recv, slot0, n_local, nx, interpret: bool):
+    """v4 merge directly on the received tiled buffer.
+
+    ``recv`` is (t_recv, 1024) with a globally sorted (duplicates
+    allowed) ends row in GLOBAL coordinates and BIG pads at the tail.
+    Localizes ends in place, brackets window bases from a per-tile
+    sample, guards the duplicate-inflation span bound, and runs the v4
+    main kernel — falling back to a shard-local XLA scatter+cummax merge
+    when a window would exceed the kernel's 384-entry reach."""
+    from gpu_se_tpu.ops import resample_pallas4 as v4
+
+    LANES = v4.LANES
+    tpb = 4096 // LANES
+    wt = 3 * tpb + 8
+    t_recv = recv.shape[0]
+    t_data = n_local // LANES
+    nblocks = n_local // 4096
+
+    sl = slice(v4.ENDS_ROW * LANES, (v4.ENDS_ROW + 1) * LANES)
+    re = recv[:, sl].reshape(-1)
+    valid = re < v4.BIG * 0.5
+    el = jnp.where(
+        valid,
+        jnp.minimum(re - slot0.astype(jnp.float32), float(n_local)),
+        v4.BIG)
+    recv = recv.at[:, sl].set(el.reshape(t_recv, LANES))
+    # pad the window overhang
+    pad = jnp.zeros((wt, 8 * LANES), jnp.float32)
+    pad = pad.at[:, sl].set(v4.BIG)
+    tiled = jnp.concatenate([recv, pad])
+
+    # window bases from the per-4096-block sample of the ends sequence
+    qs = jnp.arange(nblocks + 1, dtype=jnp.int32)[:, None] * 4096
+    sample = el[::4096]
+    p_blk = jnp.sum(
+        (sample[None, :] < qs.astype(jnp.float32)).astype(jnp.int32), axis=1)
+    base = jnp.clip((p_blk[:-1] - 1) * tpb, 0,
+                    tiled.shape[0] - wt).astype(jnp.int32)
+
+    # span guard: entries per 128-slot window (duplicates included)
+    thr = (jnp.arange(t_data + 1, dtype=jnp.int32) * LANES).astype(
+        jnp.float32)
+    cnt = jnp.searchsorted(el, thr, side="left")
+    span_max = jnp.max(cnt[1:] - cnt[:-1])
+
+    def kernel_merge(tiled):
+        out_tiled = v4._run_main_kernel(
+            tiled, base, n_local, tpb, wt, interpret)
+        back = (
+            out_tiled.reshape(t_data, 8, LANES)
+            .transpose(1, 0, 2)
+            .reshape(8, n_local)
+        )
+        return back[:nx].T
+
+    def xla_merge(tiled):
+        n_tot = t_recv * LANES
+        elv = el
+        # derived local firsts; duplicates get first > last and never seed
+        firsts = jnp.concatenate([jnp.full((1,), -1.0), elv[:-1] + 1.0])
+        ok = (elv < v4.BIG * 0.5) & (firsts <= elv) & (firsts < n_local)
+        j0 = jnp.clip(firsts, 0.0, float(n_local - 1)).astype(jnp.int32)
+        tgt = jnp.where(ok, j0, n_local)
+        seed = jnp.full((n_local,), jnp.int32(-1)).at[tgt].max(
+            jnp.arange(n_tot, dtype=jnp.int32), mode="drop")
+        # entry 0 covers slot 0 unless a later seed claims it
+        seed = seed.at[0].max(jnp.where(elv[0] < v4.BIG * 0.5, 0, -1))
+        p = jnp.clip(jax.lax.cummax(seed), 0, n_tot - 1)
+        back = (
+            recv.reshape(t_recv, 8, LANES)
+            .transpose(1, 0, 2)
+            .reshape(8, n_tot)
+        )
+        rows = back[:nx].T
+        return sorted_row_gather(rows, p)
+
+    return jax.lax.cond(span_max > 2 * LANES, xla_merge, kernel_merge, tiled)
+
+
+def _distributed_systematic_resample_a2a_tiled(
+    particles, weights, r, axis: str, *,
+    exchange: str = "ragged", interpret: bool = False,
+):
+    """The production PF distributed resample: segmented ends -> v4
+    compaction kernel (shifted local coords) -> tile-granular exchange
+    (ragged all-to-all on TPU, ppermute emulation on CPU) -> v4 merge on
+    the received tiles. Bitwise-equal to every other impl. Requires
+    (n_local, nx<=5) f32, n_local % 4096 == 0, n_global <= 2^24."""
+    from gpu_se_tpu.ops import resample_pallas4 as v4
+
+    LANES = v4.LANES
+    n_local, nx = particles.shape
+    s_idx = jax.lax.axis_index(axis)
+    n_shards = jax.lax.axis_size(axis)
+    n_global = n_local * n_shards
+    slot0 = s_idx * n_local
+    t_data = n_local // LANES
+
+    ends, prev = _segmented_ends(weights, r, axis)
+    shift = prev + 1
+    ends_loc = (ends - shift).astype(jnp.float32)
+
+    # tiled payload -> compaction kernel (local coords, keep init -1)
+    p8 = jnp.zeros((8, t_data * LANES), jnp.float32)
+    p8 = p8.at[:nx].set(particles.T)
+    p8 = p8.at[v4.ENDS_ROW].set(ends_loc)
+    tiled = (
+        p8.reshape(8, t_data, LANES)
+        .transpose(1, 0, 2)
+        .reshape(t_data, 8 * LANES)
+    )
+    ctiled = v4._compact(tiled, n_local, 0, interpret)
+    t_out = ctiled.shape[0]
+
+    # global-coords ends + duplicate-of-previous pad rewrite, in place
+    sl = slice(v4.ENDS_ROW * LANES, (v4.ENDS_ROW + 1) * LANES)
+    ce = ctiled[:, sl].reshape(-1)
+    real = ce < v4.BIG * 0.5
+    eg = jax.lax.cummax(
+        jnp.where(real, ce + shift.astype(jnp.float32), -v4.BIG))
+    ctiled = ctiled.at[:, sl].set(eg.reshape(t_out, LANES))
+
+    # real-granularity run windows (BIG-padded views exclude dups/pads)
+    er = jnp.where(real, eg, v4.BIG)
+    fr = jnp.where(
+        real,
+        jnp.concatenate([
+            (prev + 1).astype(jnp.float32)[None], er[:-1] + 1.0]),
+        v4.BIG)
+    starts = (jnp.arange(n_shards, dtype=jnp.int32) * n_local).astype(
+        jnp.float32)
+    lo_r = jnp.searchsorted(er, starts, side="left").astype(jnp.int32)
+    hi_r = jnp.searchsorted(fr, starts + float(n_local),
+                            side="left").astype(jnp.int32)
+    tlo = lo_r // LANES
+    thi = jnp.where(hi_r > lo_r, (hi_r + LANES - 1) // LANES, tlo)
+    sizes = thi - tlo                                   # tiles per dest
+
+    sizes_mat = jax.lax.all_gather(sizes, axis)         # (W, W) [src, dst]
+    csum = jnp.cumsum(sizes_mat, axis=0)
+    off_mat = csum - sizes_mat
+    slack = ((2 * n_shards + 15) // 8) * 8
+    t_recv = t_data + slack
+
+    if exchange == "ragged":
+        init = jnp.zeros((t_recv, 8 * LANES), jnp.float32)
+        init = init.at[:, sl].set(v4.BIG)
+        recv = jax.lax.ragged_all_to_all(
+            ctiled, init, tlo, sizes,
+            off_mat[s_idx], sizes_mat[:, s_idx], axis_name=axis)
+    else:
+        recv = _a2a_tiled_ring(
+            ctiled, tlo, sizes_mat, off_mat, t_recv, axis)
+
+    new_parts = _merge_received_v4_tiled(
+        recv, slot0, n_local, nx, interpret)
+    new_weights = jnp.full((n_local,), 1.0 / n_global, dtype=weights.dtype)
+    return new_parts, new_weights
+
+
 def _distributed_systematic_resample_a2a(
     pytree, weights, r, axis: str, *,
     exchange: str = "ragged", merge: str = "xla", compact: str = "xla",
@@ -635,12 +847,30 @@ def _distributed_systematic_resample_a2a(
         off_mat = csum - sizes_mat
         surv_buf = jnp.concatenate([surv_rows, surv_ends[:, None]], axis=1)
         if exchange == "ragged":
-            from gpu_se_tpu.ops.resample_pallas4 import BIG
-
-            init = jnp.zeros_like(surv_buf).at[:, -1].set(BIG)
-            recv = jax.lax.ragged_all_to_all(
-                surv_buf, init, in_off, send_sz,
-                off_mat[s_idx], sizes_mat[:, s_idx], axis_name=axis)
+            # the XLA RaggedAllToAll lowering costs ~5 ns/ROW on v5e
+            # (measured ~5.2 ms for a full 2^20-row self-send,
+            # scripts/probe_a2a_anchors.out) — so only CROSS-shard runs
+            # ride the collective; the self run (the bulk in benign
+            # regimes, all of it at W=1) is placed by one local shifted
+            # copy at the same receive offset the collective would use
+            sz_cross = send_sz.at[s_idx].set(0)
+            recv_cross = jax.lax.ragged_all_to_all(
+                surv_buf, jnp.zeros_like(surv_buf).at[:, -1].set(BIG),
+                in_off, sz_cross,
+                off_mat[s_idx], sizes_mat[:, s_idx].at[s_idx].set(0),
+                axis_name=axis)
+            off_self = off_mat[s_idx, s_idx]
+            lo_self = in_off[s_idx]
+            size_self = send_sz[s_idx]
+            cols = surv_buf.shape[1]
+            padded = jnp.concatenate([
+                jnp.zeros_like(surv_buf), surv_buf,
+                jnp.zeros_like(surv_buf)])
+            shifted = jax.lax.dynamic_slice(
+                padded, (n_local + lo_self - off_self, 0), (n_local, cols))
+            pos = jnp.arange(n_local, dtype=jnp.int32)
+            own = (pos >= off_self) & (pos < off_self + size_self)
+            recv = jnp.where(own[:, None], shifted, recv_cross)
         else:
             recv = _exchange_ring_f32(surv_buf, sizes_mat, off_mat, axis)
         new_packed = _merge_received_v4(
@@ -727,11 +957,14 @@ def make_shard_map_step(mesh: Mesh, f: Callable, g: Callable,
     interpreter — the CPU-mesh full-path test). All are bitwise-equal
     (integer ``ends`` merge domain).
     """
-    _A2A = {  # (exchange, merge, compact, interpret)
-        "a2a": ("ragged", "v4", "v4", False),
+    _A2A = {  # survivor-granularity variants: (exchange, merge, compact, interp)
         "a2a_xla": ("ragged", "xla", "xla", False),
         "a2a_ring": ("ring", "xla", "xla", False),
         "a2a_ring_v4": ("ring", "v4", "v4", True),
+    }
+    _A2A_TILED = {  # tile-granularity production pipeline: (exchange, interp)
+        "a2a": ("ragged", False),
+        "a2a_tiled_ring": ("ring", True),
     }
 
     def step(state: PFState, u, z, dt, state_pdf: GaussianSum,
@@ -757,6 +990,13 @@ def make_shard_map_step(mesh: Mesh, f: Callable, g: Callable,
                 particles, weights = _distributed_systematic_resample(
                     particles, weights, r, axis
                 )
+            elif resample_impl in _A2A_TILED:
+                exch, interp = _A2A_TILED[resample_impl]
+                particles, weights = (
+                    _distributed_systematic_resample_a2a_tiled(
+                        particles, weights, r, axis,
+                        exchange=exch, interpret=interp,
+                    ))
             elif resample_impl in _A2A:
                 exch, merge, comp, interp = _A2A[resample_impl]
                 particles, weights = _distributed_systematic_resample_a2a(

@@ -412,6 +412,7 @@ def _raw_distributed_resample(nd, n, parts_np, w_np, r, impl):
     from gpu_se_tpu.parallel.sharded import (
         _distributed_systematic_resample,
         _distributed_systematic_resample_a2a,
+        _distributed_systematic_resample_a2a_tiled,
     )
     from gpu_se_tpu.parallel.mesh import PARTICLE_AXIS
 
@@ -433,6 +434,10 @@ def _raw_distributed_resample(nd, n, parts_np, w_np, r, impl):
             if impl == "xla":
                 return _distributed_systematic_resample(
                     parts, w, r, PARTICLE_AXIS)
+            if impl == "a2a_tiled_ring":
+                return _distributed_systematic_resample_a2a_tiled(
+                    parts, w, r, PARTICLE_AXIS,
+                    exchange="ring", interpret=True)
             exch, merge, comp, interp = {
                 "a2a_ring": ("ring", "xla", "xla", False),
                 "a2a_ring_v4": ("ring", "v4", "v4", True),
@@ -487,8 +492,8 @@ def test_a2a_resample_matches_ring_all_weight_families():
     for name, w_np in _weight_families(n, rng).items():
         expected = _raw_distributed_resample(1, n, parts_np, w_np, r, "xla")
         for nd in (1, 2, 4, 8):
-            for impl in ("a2a_ring", "a2a_ring_v4"):
-                if impl == "a2a_ring_v4" and (n // nd) % 4096 != 0:
+            for impl in ("a2a_ring", "a2a_ring_v4", "a2a_tiled_ring"):
+                if impl != "a2a_ring" and (n // nd) % 4096 != 0:
                     continue
                 got = _raw_distributed_resample(
                     nd, n, parts_np, w_np, r, impl)
