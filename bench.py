@@ -34,13 +34,15 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+import functools  # noqa: E402
+
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from gpu_se_tpu.distributions import GaussianSum  # noqa: E402
-from gpu_se_tpu.filters import particle as pf_core  # noqa: E402
+from gpu_se_tpu.filters import particle_tiled as pft  # noqa: E402
 from gpu_se_tpu.models import bioreactor as bio  # noqa: E402
 
 N = 2**20
@@ -70,23 +72,26 @@ def main():
         np.array([0.85, 0.15]),
     )
 
-    f = bio.Bioreactor.homeostatic_DEs
-    g = bio.Bioreactor.static_outputs
+    # round-5 production fused step: the PF state lives in the v4
+    # kernel's (T, 1024) tiled layout across steps (the lanes-last SoA
+    # path, filters/particle_tiled.py) — no per-step layout transposes
+    f = functools.partial(bio.homeostatic_des, xp=jnp)
+    g = functools.partial(bio.static_outputs, xp=jnp)
     u = jnp.array([0.06, 0.2])
     z = jnp.asarray(bio.static_outputs(x_ss, np.asarray(u), xp=np), jnp.float32)
 
     seed = int(time.time() * 1000) % (2**31)  # fresh chain every run
-    state = pf_core.init(jax.random.PRNGKey(seed), N, x0)
+    state = pft.init(jax.random.PRNGKey(seed), N, x0)
 
     @jax.jit
     def step(state):
-        return pf_core.step(
+        return pft.step(
             state, u, z, jnp.float32(0.1), f, g, state_pdf, meas_pdf
         )
 
     # compile + warmup
     state = step(state)
-    jax.block_until_ready(state.particles)
+    jax.block_until_ready(state.tiled)
 
     # one timed chained loop with a single final block: per-call blocking
     # pays the ~25 ms relay sync RTT every call, while the chained queue's
@@ -94,7 +99,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(REPS):
         state = step(state)
-    jax.block_until_ready(state.particles)
+    jax.block_until_ready(state.tiled)
     steps_per_s = REPS / (time.perf_counter() - t0)
 
     with open(

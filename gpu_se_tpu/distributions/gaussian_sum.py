@@ -107,6 +107,34 @@ class GaussianSum:
         comp = jnp.exp(self.log_const - 0.5 * quad)  # (..., Nd)
         return jnp.sum(self.weights * comp, axis=-1)
 
+    def pdf_t(self, x: jax.Array) -> jax.Array:
+        """Lanes-last mixture pdf: ``x`` is ``(Nx, ...)`` with the batch
+        minor; returns ``(...)``.
+
+        Same mixture as :meth:`pdf` with the quadratic form unrolled
+        over the (tiny, static) component and state dims as pure
+        elementwise ops — built for bulk lanes-last consumers (the
+        round-5 tiled PF step, filters/particle_tiled.py) where the
+        ``(..., Nx)`` layout of :meth:`pdf` pays ~15x padded memory
+        traffic (cf. :meth:`draw_t`). The contraction order matches
+        ``(e @ inv_cov) . e`` row-major, so values can differ from
+        :meth:`pdf`'s einsum by association ulps.
+        """
+        total = None
+        for d in range(self.n_components):
+            es = [x[i] - self.means[d, i] for i in range(self.n_dim)]
+            quad = None
+            for i in range(self.n_dim):
+                acc = None
+                for j in range(self.n_dim):
+                    term = self.inv_cov[d, j, i] * es[j]
+                    acc = term if acc is None else acc + term
+                t = es[i] * acc
+                quad = t if quad is None else quad + t
+            comp = self.weights[d] * jnp.exp(self.log_const[d] - 0.5 * quad)
+            total = comp if total is None else total + comp
+        return total
+
     def logpdf(self, x: jax.Array) -> jax.Array:
         """Numerically-stable log mixture pdf (log-sum-exp over components).
 

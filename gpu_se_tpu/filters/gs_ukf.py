@@ -18,7 +18,10 @@ import jax.numpy as jnp
 from flax import struct
 
 from gpu_se_tpu.distributions.gaussian_sum import GaussianSum
-from gpu_se_tpu.filters.resampling import systematic_resample
+from gpu_se_tpu.filters.resampling import (
+    systematic_resample,
+    systematic_resample_bank,
+)
 from gpu_se_tpu.ops.smallmat import (
     cholesky_small,
     cholesky_small_lanes,
@@ -249,6 +252,13 @@ def update_core(means, covariances, weights, u, z, g: Callable,
     kpk_t = jnp.sum(
         kp_t[:, None, :, :] * gains_t[None, :, :, :], axis=2
     )                                                    # (nx, nx, N)
+    # K P K' is symmetric in exact arithmetic but its f32 accumulation
+    # is not (kpk[i,j] and kpk[j,i] group the same terms differently);
+    # symmetrize so the bank covariances stay EXACTLY symmetric — the
+    # round-5 symmetric-packed bank resample kernel
+    # (ops/resample_pallas4.pallas_systematic_resample_bank) carries
+    # only the upper triangle and mirrors it back
+    kpk_t = 0.5 * (kpk_t + jnp.swapaxes(kpk_t, 0, 1))
     covs_new_t = covs_t - kpk_t
 
     y_means_t = jax.vmap(g, in_axes=(1, None), out_axes=1)(new_means_t, u)
@@ -300,10 +310,12 @@ def update_stabilized(
 
 def resample(state: GSUKFState) -> GSUKFState:
     """Systematic resample of (means, covariances)
-    (cf. /root/reference/filter/gs_ukf.py:151-170)."""
+    (cf. /root/reference/filter/gs_ukf.py:151-170). Rides the
+    symmetric-packed tiled bank kernel on TPU (round 5; update_core
+    keeps the covariances exactly symmetric for it)."""
     key, sub = jax.random.split(state.key)
-    (means, covs), weights = systematic_resample(
-        (state.means, state.covariances), state.weights, sub
+    (means, covs), weights = systematic_resample_bank(
+        state.means, state.covariances, state.weights, sub
     )
     return GSUKFState(means=means, covariances=covs, weights=weights, key=key)
 

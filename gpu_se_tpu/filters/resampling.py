@@ -215,6 +215,46 @@ def _auto_ends(pytree) -> bool:
     )
 
 
+def systematic_resample_bank(
+    means: jax.Array, covs: jax.Array, weights: jax.Array, key: jax.Array
+):
+    """Systematic resample of a Gaussian bank (means, covariances).
+
+    CONTRACT: ``covs`` must be exactly symmetric (update_core
+    symmetrizes K P K'; predict's accumulation is symmetric bitwise) —
+    the TPU fast path packs only the upper triangle through the tiled
+    jumbo-window kernel (ops/resample_pallas4, round 5) and mirrors it
+    back, 24 payload rows instead of the 30-column packed-ends kernel
+    it replaces (~3.7 -> ~2 ms of the 2^18 GSUKF step). Respects the
+    ``impl(...)`` override: anything other than auto/v4 modes falls
+    back to the generic pytree path.
+
+    Returns ``((means, covs), uniform_weights)``.
+    """
+    from gpu_se_tpu.ops.resample_pallas4 import (
+        bank_applicable,
+        pallas_systematic_resample_bank,
+    )
+
+    n = weights.shape[0]
+    use_kernel = (
+        _IMPL in ("bank", "bank_interpret")
+        or (
+            _IMPL in ("auto", "v4")
+            and jax.default_backend() == "tpu"
+        )
+    ) and bank_applicable(means, covs, n)
+    if use_kernel:
+        r = jax.random.uniform(key, ())
+        new_means, new_covs, _ = pallas_systematic_resample_bank(
+            means, covs, weights, r,
+            interpret=(_IMPL == "bank_interpret"),
+        )
+        return (new_means, new_covs), jnp.full(
+            (n,), 1.0 / n, dtype=weights.dtype)
+    return systematic_resample((means, covs), weights, key)
+
+
 def systematic_resample(pytree, weights: jax.Array, key: jax.Array):
     """Resample any pytree of (N, ...) arrays along axis 0.
 

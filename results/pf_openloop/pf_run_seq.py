@@ -12,11 +12,15 @@ from results._common import save_fig
 from results._filter_bench import run_seq
 
 # N ranges per backend (cf. pf_run_seq.py:337-338 in the reference;
-# trimmed CPU tail — the host here is a 2-vCPU container)
+# trimmed CPU tail — the host here is a 2-vCPU container, and integer
+# log2 steps halve an already-hour-scale host campaign)
 CPU_LOG2 = np.arange(1, 20, 1.0)
-# capped at 2^22: remote AOT compiles of the fused step hang at >= 2^23
-# through the dev relay (toolchain limit, not a framework one; CLAUDE.md)
-ACC_LOG2 = np.arange(1, 23, 1.0)
+# Round 5: the full reference accelerator grid, 2^1..2^23.5 in half-log2
+# steps (reference pf_run_seq.py:338). Rounds 2-4 stopped at 2^22 citing
+# the >=2^23 remote-compile hang; round 4 showed that hang was an
+# artifact of the old scatter/merge program structure (ATTEMPT_2E23.json,
+# BIGN to 2^24), so the cap is gone.
+ACC_LOG2 = np.arange(1, 24, 0.5)
 
 
 @RunSequences.vectorize

@@ -82,11 +82,10 @@ def main():
             ts.append((time.perf_counter() - t0) * 1e3)
         return float(np.median(ts))
 
-    for kind, impl in [("nores", None), ("step", "xla"),
-                       ("step", None), ("step", "ends")]:
+    for kind, impl in [("nores", None), ("step", None), ("step", "ends")]:
         label = kind if impl is None else f"{kind}[{impl}]"
         if kind == "step" and impl is None:
-            label = "step[default v1+gather]"
+            label = "step[default bank-v4]"  # round 5: symmetric-packed
         ctx = resampling.impl(impl) if impl else None
         if ctx:
             ctx.__enter__()

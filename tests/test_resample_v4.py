@@ -95,3 +95,87 @@ def test_fast_path_engages_for_realistic_weights():
         assert np.diff(o).max() <= 256, case          # span flag quiet
         s256 = np.maximum(ends[::256], 0) >> 7
         assert not np.any(s256[1:] == s256[:-1]), case  # pre-check quiet
+
+
+# ----------------------------------------------------------------------
+# round-5 bank generalization (rows=24, symmetric-packed covariances)
+# ----------------------------------------------------------------------
+def _bank(rng, n, degenerate=False):
+    means = rng.standard_normal((n, 5)).astype(np.float32)
+    a = rng.standard_normal((n, 5, 5)).astype(np.float32)
+    covs = np.einsum("nij,nkj->nik", a, a).astype(np.float32)
+    covs = 0.5 * (covs + covs.transpose(0, 2, 1))  # exactly symmetric
+    w = np.exp(rng.standard_normal(n)).astype(np.float32)
+    if degenerate:
+        w[: n - n // 16] = 1e-12
+    return jnp.asarray(means), jnp.asarray(covs), jnp.asarray(w)
+
+
+def test_bank_kernel_bitwise_vs_xla():
+    from gpu_se_tpu.filters.resampling import (
+        sorted_row_gather, systematic_resample_indices)
+
+    rng = np.random.default_rng(12)
+    for degenerate in (False, True):
+        means, covs, w = _bank(rng, N, degenerate)
+        r = jnp.float32(0.37)
+        m2, c2, anc = rp4.pallas_systematic_resample_bank(
+            means, covs, w, r, interpret=True)
+        idx = systematic_resample_indices(w, r)
+        np.testing.assert_array_equal(np.asarray(anc), np.asarray(idx))
+        np.testing.assert_array_equal(
+            np.asarray(m2), np.asarray(sorted_row_gather(means, idx)))
+        np.testing.assert_array_equal(
+            np.asarray(c2), np.asarray(sorted_row_gather(covs, idx)))
+
+
+def test_bank_route_respects_impl_override():
+    """systematic_resample_bank under impl('bank_interpret') must equal
+    the generic XLA pytree path bitwise (same key -> same r)."""
+    from gpu_se_tpu.filters import resampling as rs
+
+    rng = np.random.default_rng(13)
+    means, covs, w = _bank(rng, N, degenerate=True)
+    key = jax.random.PRNGKey(5)
+    with rs.impl("bank_interpret"):
+        (m2, c2), w2 = rs.systematic_resample_bank(means, covs, w, key)
+    with rs.impl("xla"):
+        (m1, c1), w1 = rs.systematic_resample((means, covs), w, key)
+    np.testing.assert_array_equal(np.asarray(m2), np.asarray(m1))
+    np.testing.assert_array_equal(np.asarray(c2), np.asarray(c1))
+    np.testing.assert_array_equal(np.asarray(w2), np.asarray(w1))
+
+
+def test_update_core_covariances_exactly_symmetric():
+    """update_core's K P K' symmetrization keeps the bank covariances
+    bitwise symmetric (the bank kernel's packing contract)."""
+    from gpu_se_tpu.distributions import GaussianSum
+    from gpu_se_tpu.filters import gs_ukf
+    from gpu_se_tpu.models import bioreactor as bio
+
+    n = 256
+    x_ss = np.array([280 / 180, 640 / 24.6, 1000 / 116, 0.0, 0.0])
+    x0 = GaussianSum.create(
+        np.stack([x_ss, x_ss]),
+        np.stack([np.eye(5) * 1e-4, np.eye(5) * 1e-3]),
+        np.array([0.75, 0.25]))
+    state_pdf = GaussianSum.create(
+        np.zeros((2, 5)),
+        np.stack([np.diag([1e-4, 1e-7, 1e-3, 1e-3, 1e-7]),
+                  np.diag([1e-3, 1e-6, 1e-2, 1e-2, 1e-6])]),
+        np.array([0.75, 0.25]))
+    meas_pdf = GaussianSum.create(
+        np.array([[1e-1, 0], [0, -1e-1]]),
+        np.array([[[6e-2, 0], [0, 8e-2]], [[500, 100], [100, 700]]]),
+        np.array([0.85, 0.15]))
+    u = jnp.array([0.06, 0.2])
+    z = jnp.asarray(
+        bio.static_outputs(x_ss, np.asarray(u), xp=np), jnp.float32)
+    st = gs_ukf.init(jax.random.PRNGKey(0), n, x0, state_pdf)
+    st = gs_ukf.predict(st, u, jnp.float32(0.1),
+                        bio.Bioreactor.homeostatic_DEs, state_pdf)
+    cp = np.asarray(st.covariances)
+    np.testing.assert_array_equal(cp, cp.transpose(0, 2, 1))
+    st = gs_ukf.update(st, u, z, bio.Bioreactor.static_outputs, meas_pdf)
+    cu = np.asarray(st.covariances)
+    np.testing.assert_array_equal(cu, cu.transpose(0, 2, 1))
