@@ -26,6 +26,32 @@ from flax import struct
 ShapeLike = Union[int, Tuple[int, ...]]
 
 
+def device_fast_key(key: jax.Array) -> jax.Array:
+    """Derive an rbg-impl key from a threefry key ON TPU; identity
+    elsewhere.
+
+    XLA's hardware random-bit generator draws the GSUKF sigma noise
+    3.3x and the PF predict noise 3.7x faster than threefry at the
+    production shapes (scripts/probe_rbg.py, round 5: 1.65 -> 0.50 and
+    0.56 -> 0.15 ms by full-sum-consumed k-chain slope). The STREAM
+    CHANGES (like ``draw_t``'s layout change, documented there), and
+    rbg is not ``jax_threefry_partitionable``-shardable — so this is
+    used only by the single-device fast paths (``particle_tiled.step``,
+    ``gs_ukf.predict``); the shard_map paths draw with partitionable
+    threefry keys outside, and CPU keeps threefry so parity fixtures
+    are backend-stable.
+    """
+    if jax.default_backend() != "tpu":
+        return key
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        kd = jax.random.key_data(key)
+    else:
+        kd = key                       # raw (2,) uint32 PRNGKey
+    kd = kd.reshape(-1).astype(jnp.uint32)
+    data = jnp.concatenate([kd, kd ^ jnp.uint32(0x9E3779B9)])[:4]
+    return jax.random.wrap_key_data(data, impl="rbg")
+
+
 @struct.dataclass
 class GaussianSum:
     """Mixture of ``Nd`` multivariate Gaussians over ``R^Nx`` as a pytree.

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from gpu_se_tpu.distributions.gaussian_sum import GaussianSum
+from gpu_se_tpu.distributions.gaussian_sum import GaussianSum, device_fast_key
 from gpu_se_tpu.filters.resampling import (
     systematic_resample,
     systematic_resample_bank,
@@ -175,9 +175,13 @@ def predict(
     n, nx = state.means.shape
     key, sub = jax.random.split(state.key)
     # lanes-last draw: the (N*(2nx+1), nx) layout's padded traffic was
-    # the single largest UT cost at 2^18 (4.7 of 10.5 ms, probe_gsf2)
+    # the single largest UT cost at 2^18 (4.7 of 10.5 ms, probe_gsf2);
+    # round 5: rbg bits on TPU, 1.65 -> 0.50 ms (probe_rbg.py — stream
+    # change documented at device_fast_key; this path is single-device,
+    # the shard_map path draws partitionable noise outside predict_core)
     s_sig = 2 * nx + 1
-    noise_t = state_pdf.draw_t(sub, n * s_sig).reshape(nx, s_sig, n)
+    noise_t = state_pdf.draw_t(
+        device_fast_key(sub), n * s_sig).reshape(nx, s_sig, n)
     noise_t = jnp.transpose(noise_t, (1, 0, 2))         # (s, nx, N)
     means, covs = predict_core(
         state.means, state.covariances, u, dt, noise_t, f,

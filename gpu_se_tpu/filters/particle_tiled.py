@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from gpu_se_tpu.distributions.gaussian_sum import GaussianSum
+from gpu_se_tpu.distributions.gaussian_sum import GaussianSum, device_fast_key
 from gpu_se_tpu.ops.resample_pallas4 import (
     BIG,
     ENDS_ROW,
@@ -151,7 +151,10 @@ def step(
     # ---- predict: x += f(x, u, dt) + w ------------------------------
     x = dims(state, nx)
     deltas = f(x, u, dt)
-    noise = state_pdf.draw_t(kn, n).reshape(nx, t_data, LANES)
+    # rbg bits on TPU: 0.56 -> 0.15 ms at 2^20 (scripts/probe_rbg.py);
+    # stream change documented at device_fast_key
+    noise = state_pdf.draw_t(
+        device_fast_key(kn), n).reshape(nx, t_data, LANES)
     xn = x + deltas + noise
 
     # ---- update: w_i = p(z - g(x_i, u)) -----------------------------

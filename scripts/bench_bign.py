@@ -23,7 +23,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from gpu_se_tpu.filters import particle as pf_core  # noqa: E402
+import functools  # noqa: E402
+
+from gpu_se_tpu.filters import particle_tiled as pft  # noqa: E402
 from results._filter_bench import rig_dists  # noqa: E402
 from gpu_se_tpu.models import bioreactor as bio  # noqa: E402
 
@@ -32,8 +34,9 @@ REPS = 20
 
 def main():
     x_ss, x0, state_pdf, meas_pdf = rig_dists()
-    f = bio.Bioreactor.homeostatic_DEs
-    g = bio.Bioreactor.static_outputs
+    # round 5: the tiled-state production step (filters/particle_tiled)
+    f = functools.partial(bio.homeostatic_des, xp=jnp)
+    g = functools.partial(bio.static_outputs, xp=jnp)
     u = jnp.array([0.06, 0.2])
     z = jnp.asarray(bio.static_outputs(x_ss, np.asarray(u), xp=np), jnp.float32)
     seed = int(time.time() * 1000) % (2 ** 31)
@@ -44,19 +47,19 @@ def main():
 
         @jax.jit
         def step(s):
-            return pf_core.step(s, u, z, jnp.float32(0.1), f, g,
-                                state_pdf, meas_pdf)
+            return pft.step(s, u, z, jnp.float32(0.1), f, g,
+                            state_pdf, meas_pdf)
 
-        state = pf_core.init(jax.random.PRNGKey(seed + logn), n, x0)
+        state = pft.init(jax.random.PRNGKey(seed + logn), n, x0)
         t0 = time.time()
         state = step(state)
-        jax.block_until_ready(state.particles)
+        jax.block_until_ready(state.tiled)
         compile_s = time.time() - t0
 
         t0 = time.perf_counter()
         for _ in range(REPS):
             state = step(state)
-        jax.block_until_ready(state.particles)
+        jax.block_until_ready(state.tiled)
         dt = (time.perf_counter() - t0) / REPS
         art["points"][f"2^{logn}"] = {
             "steps_per_s": round(1.0 / dt, 2),
