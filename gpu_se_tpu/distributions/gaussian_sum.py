@@ -26,6 +26,30 @@ from flax import struct
 ShapeLike = Union[int, Tuple[int, ...]]
 
 
+FAST_NOISE = True
+
+
+class fast_noise:
+    """Context manager toggling the rbg noise fast path (trace-time).
+
+    ``fast_noise(False)`` pins the threefry stream on every backend —
+    used by the CPU-vs-TPU shared-key parity gate
+    (scripts/validate_tpu.py --parity), where element-level agreement
+    requires identical streams."""
+
+    def __init__(self, on: bool):
+        self.on = on
+
+    def __enter__(self):
+        global FAST_NOISE
+        self._prev = FAST_NOISE
+        FAST_NOISE = self.on
+
+    def __exit__(self, *exc):
+        global FAST_NOISE
+        FAST_NOISE = self._prev
+
+
 def device_fast_key(key: jax.Array) -> jax.Array:
     """Derive an rbg-impl key from a threefry key ON TPU; identity
     elsewhere.
@@ -41,7 +65,7 @@ def device_fast_key(key: jax.Array) -> jax.Array:
     threefry keys outside, and CPU keeps threefry so parity fixtures
     are backend-stable.
     """
-    if jax.default_backend() != "tpu":
+    if not FAST_NOISE or jax.default_backend() != "tpu":
         return key
     if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
         kd = jax.random.key_data(key)

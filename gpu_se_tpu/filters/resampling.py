@@ -157,20 +157,22 @@ def _kernel_applicable(pytree, n: int) -> bool:
     leaves = jax.tree_util.tree_leaves(pytree)
     if not leaves:
         return False
-    if n % max(_KERNEL_BLOCK, 256) != 0 or n < 2 ** 12:
+    if n < 2 ** 12 or _IMPL == "xla":
         return False
-    if _IMPL == "xla":
-        return False
+    # v4 pads arbitrary n up to a block multiple (round 5: odd sizes on
+    # the XLA fallback measured 10-15x slower at 2^22.5); every other
+    # kernel family still needs the aligned-n gate
+    aligned = n % max(_KERNEL_BLOCK, 256) == 0
     if _IMPL in ("ends", "ends_interpret"):
         # the ends kernel packs any pytree of (N, ...) rows into a
         # (N, <=32) payload — covers the GSUKF (means, covariances) bank
         from gpu_se_tpu.ops.resample_pallas_block import packable_cols
 
-        return _pack_dtypes_ok(pytree) and packable_cols(pytree) > 0
+        return aligned and _pack_dtypes_ok(pytree) and packable_cols(pytree) > 0
     if _IMPL in ("coarse", "coarse_interpret"):
         from gpu_se_tpu.ops.resample_coarse import coarse_applicable
 
-        return _pack_dtypes_ok(pytree) and coarse_applicable(pytree, n)
+        return aligned and _pack_dtypes_ok(pytree) and coarse_applicable(pytree, n)
     # single-leaf kernels run on the first leaf (must be (N, <=8) and
     # f32-exact — the kernel carries it as float32); remaining leaves
     # reuse its ancestor vector through the native-dtype sorted gather
@@ -184,10 +186,14 @@ def _kernel_applicable(pytree, n: int) -> bool:
 
         return first_ok and v4_applicable(first, n)
     if _IMPL in ("pallas", "interpret", "v3", "v3_interpret"):
-        return first_ok
+        return aligned and first_ok
     if jax.default_backend() != "tpu":
         return False
-    return first_ok or _auto_ends(pytree)
+    from gpu_se_tpu.ops.resample_pallas4 import v4_applicable
+
+    if first_ok and v4_applicable(first, n) and not _auto_ends(pytree):
+        return True                      # pad-aware, any n
+    return aligned and (first_ok or _auto_ends(pytree))
 
 
 def _pack_dtypes_ok(pytree) -> bool:

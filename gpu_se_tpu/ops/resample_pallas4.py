@@ -452,19 +452,40 @@ def _compact(tiled, n, wt_out, interpret, rows=8, tiles_per_step=32):
 # ----------------------------------------------------------------------
 # public entry
 # ----------------------------------------------------------------------
+def _pad_n(n: int, block: int) -> int:
+    return ((n + block - 1) // block) * block
+
+
+def _pad_ends_f32(ends, n: int, n_pad: int, tail: int):
+    """Flat f32 ends of length n_pad + tail: the real monotonized ends,
+    then STRICTLY-INCREASING above-range pads ``BIG + 256 i`` for the
+    padded slots (round 5, arbitrary-n support). Monotone increase keeps
+    the kernels' sortedness invariants; distinct 256-buckets keep the
+    sampled degenerate pre-check from misreading the pad region as a
+    dead run; all values are multiples of 256 <= 2^26, exact in f32.
+    The window-overhang tail keeps plain BIG (never sampled)."""
+    pad = BIG + 256.0 * jnp.arange(n_pad - n, dtype=jnp.float32)
+    return jnp.concatenate([
+        ends.astype(jnp.float32), pad,
+        jnp.full((tail,), BIG, jnp.float32),
+    ])
+
+
 def v4_applicable(first_leaf, n: int, block: int = 4096) -> bool:
     """Shape gate for the tiled kernel: (n, nx<=5) payload (rows 5/6/7
-    of the tile carry index/ends/span), n a multiple of the block.
+    of the tile carry index/ends/span). Round 5: ANY n >= 2^12 —
+    non-block-multiples are padded with above-range ends entries that
+    can never be selected, so every size rides the kernel (the XLA
+    fallback at odd sizes measured 10-15x slower at 2^22.5).
 
-    Upper bound n <= 2^24: indices, ends, and slot thresholds ride in
-    f32 tile rows, which is only exact for integers <= 2^24 — beyond
-    that the kernel would be silently wrong, so fall back to XLA."""
+    Upper bound: indices, ends, and slot thresholds ride in f32 tile
+    rows, exact only for integers <= 2^24 (the padded slot count) —
+    beyond that the kernel would be silently wrong, so fall back."""
     return (
         first_leaf.ndim == 2
         and first_leaf.shape[1] <= IDX_ROW
-        and n % block == 0
-        and n >= block
-        and n <= 2**24
+        and n >= 2**12
+        and _pad_n(n, block) <= 2**24
     )
 
 
@@ -565,7 +586,7 @@ def bank_applicable(means, covs, n: int, block: int = 4096) -> bool:
         covs.shape[1:] == (nx, nx)
         and means.dtype == jnp.float32 and covs.dtype == jnp.float32
         and bank_rows(nx) <= 32
-        and n % block == 0 and n >= block and n <= 2**24
+        and n >= 2**12 and _pad_n(n, block) <= 2**24
     )
 
 
@@ -597,9 +618,10 @@ def pallas_systematic_resample_bank(
     ntri = nx * (nx + 1) // 2
     assert bank_applicable(means, covs, n, block)
     b = block
+    n_pad = _pad_n(n, b)
     tpb = b // LANES
     wt = 3 * tpb + 8
-    t_data = n // LANES
+    t_data = n_pad // LANES
     t_alloc = t_data + wt
     ends_row = rows - 2
     idx_row = rows - 3
@@ -607,6 +629,8 @@ def pallas_systematic_resample_bank(
     from gpu_se_tpu.ops.resample_coarse import ends_from_weights
 
     ends = ends_from_weights(weights, r)
+    ends_f = _pad_ends_f32(ends, n, n_pad, t_alloc * LANES - n_pad)
+    ends_core = ends_f[:n_pad].astype(jnp.int32)
 
     tri_i, tri_j = np.triu_indices(nx)
     tri_cols = jnp.stack(
@@ -616,13 +640,8 @@ def pallas_systematic_resample_bank(
     pR = jnp.zeros((rows, t_alloc * LANES), jnp.float32)
     pR = pR.at[:nx, :n].set(means.T)
     pR = pR.at[nx:nx + ntri, :n].set(tri_cols)
-    pR = pR.at[idx_row, :n].set(jnp.arange(n, dtype=jnp.float32))
-    pR = pR.at[ends_row].set(
-        jnp.concatenate([
-            ends.astype(jnp.float32),
-            jnp.full((t_alloc * LANES - n,), BIG, jnp.float32),
-        ])
-    )
+    pR = pR.at[idx_row, :n_pad].set(jnp.arange(n_pad, dtype=jnp.float32))
+    pR = pR.at[ends_row].set(ends_f)
     tiled = (
         pR.reshape(rows, t_alloc, LANES)
         .transpose(1, 0, 2)
@@ -630,12 +649,13 @@ def pallas_systematic_resample_bank(
     )
 
     out_tiled = resample_tiled_core(
-        tiled, ends, n, block=block, interpret=interpret, rows=rows)
+        tiled, ends_core, n_pad, block=block, interpret=interpret,
+        rows=rows)
 
     back = (
         out_tiled.reshape(t_data, rows, LANES)
         .transpose(1, 0, 2)
-        .reshape(rows, n)
+        .reshape(rows, n_pad)[:, :n]
     )
     new_means = back[:nx].T
     tri = back[nx:nx + ntri]                       # (ntri, N)
@@ -662,13 +682,15 @@ def pallas_systematic_resample_tiled(
     compacted path compute the identical ``ends``-count formulation with
     exact int-valued f32 compares and exact one-hot gathers.
 
-    Requirements: ``particles (n, nx<=5) f32``, ``n % block == 0``.
+    Requirements: ``particles (n, nx<=5) f32``; any ``n`` with
+    ``n`` padded up to a block multiple <= 2^24 (pad entries carry
+    above-range ends and are never selected; outputs slice to n).
     """
     n, nx = particles.shape
     assert nx <= IDX_ROW, f"payload of {nx} cols exceeds {IDX_ROW}"
-    assert n <= 2**24, f"n={n}: f32 index rows are only exact to 2^24"
     b = block
-    assert b % LANES == 0 and n % b == 0 and n >= b
+    n_pad = _pad_n(n, b)
+    assert b % LANES == 0 and n_pad <= 2**24
     tpb = b // LANES
     # window tiles: the ancestor range of a block spans at most
     # B*(jump+1) positions past the (sampled, 128-aligned) base, where
@@ -677,23 +699,20 @@ def pallas_systematic_resample_tiled(
     # non-degenerate weight family measured); compacted path: jump <= 1
     # holds unconditionally, so the same window is ample.
     wt = 3 * tpb + 8
-    t_data = n // LANES
+    t_data = n_pad // LANES
     t_alloc = t_data + wt
 
     from gpu_se_tpu.ops.resample_coarse import ends_from_weights
 
     ends = ends_from_weights(weights, r)
+    ends_f = _pad_ends_f32(ends, n, n_pad, t_alloc * LANES - n_pad)
+    ends_core = ends_f[:n_pad].astype(jnp.int32)
 
     # ---- pre-tiled payload (T, 1024): row c = 128-lane tile c --------
     p8 = jnp.zeros((8, t_alloc * LANES), jnp.float32)
     p8 = p8.at[:nx, :n].set(particles.astype(jnp.float32).T)
-    p8 = p8.at[IDX_ROW, :n].set(jnp.arange(n, dtype=jnp.float32))
-    p8 = p8.at[ENDS_ROW].set(
-        jnp.concatenate([
-            ends.astype(jnp.float32),
-            jnp.full((t_alloc * LANES - n,), BIG, jnp.float32),
-        ])
-    )
+    p8 = p8.at[IDX_ROW, :n_pad].set(jnp.arange(n_pad, dtype=jnp.float32))
+    p8 = p8.at[ENDS_ROW].set(ends_f)
     tiled = (
         p8.reshape(8, t_alloc, LANES)
         .transpose(1, 0, 2)
@@ -701,13 +720,13 @@ def pallas_systematic_resample_tiled(
     )
 
     out_tiled = resample_tiled_core(
-        tiled, ends, n, block=block, interpret=interpret)
+        tiled, ends_core, n_pad, block=block, interpret=interpret)
 
     back = (
         out_tiled.reshape(t_data, 8, LANES)
         .transpose(1, 0, 2)
-        .reshape(8, n)
+        .reshape(8, n_pad)
     )
-    parts = back[:nx].T
-    anc = jnp.clip(back[IDX_ROW].astype(jnp.int32), 0, n - 1)
+    parts = back[:nx, :n].T
+    anc = jnp.clip(back[IDX_ROW, :n].astype(jnp.int32), 0, n - 1)
     return parts, anc

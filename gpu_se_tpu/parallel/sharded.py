@@ -491,7 +491,9 @@ def _compact_survivors_v4(particles, ends, prev, interpret: bool):
         .transpose(1, 0, 2)
         .reshape(t_data, 8 * v4.LANES)
     )
-    ctiled = v4._compact(tiled, n_local, 0, interpret)
+    # 64 tiles/grid-step (round 5): ~0.4 ms less than 32 at 2^20 on
+    # v5e; _compact clamps back to 32 when 64 doesn't divide t_data
+    ctiled = v4._compact(tiled, n_local, 0, interpret, tiles_per_step=64)
     back = (
         ctiled.reshape(-1, 8, v4.LANES)
         .transpose(1, 0, 2)
@@ -747,7 +749,9 @@ def _distributed_systematic_resample_a2a_tiled(
         .transpose(1, 0, 2)
         .reshape(t_data, 8 * LANES)
     )
-    ctiled = v4._compact(tiled, n_local, 0, interpret)
+    # 64 tiles/grid-step (round 5): ~0.4 ms less than 32 at 2^20 on
+    # v5e; _compact clamps back to 32 when 64 doesn't divide t_data
+    ctiled = v4._compact(tiled, n_local, 0, interpret, tiles_per_step=64)
     t_out = ctiled.shape[0]
 
     # global-coords ends + duplicate-of-previous pad rewrite, in place

@@ -1,4 +1,4 @@
-# first line: 54
+# first line: 56
 @RunSequences.vectorize
 @PickleJar.pickle(path="gsf/noop")
 def noop_run_seq(N, runs, gpu):

@@ -1,4 +1,4 @@
-# first line: 20
+# first line: 22
 @RunSequences.vectorize
 @PickleJar.pickle(path="gsf/raw")
 def predict_run_seq(N, runs, gpu):

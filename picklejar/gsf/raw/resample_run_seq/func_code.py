@@ -1,4 +1,4 @@
-# first line: 32
+# first line: 34
 @RunSequences.vectorize
 @PickleJar.pickle(path="gsf/raw")
 def resample_run_seq(N, runs, gpu):

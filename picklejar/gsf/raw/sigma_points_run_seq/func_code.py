@@ -1,4 +1,4 @@
-# first line: 38
+# first line: 40
 @RunSequences.vectorize
 @PickleJar.pickle(path="gsf/raw")
 def sigma_points_run_seq(N, runs, gpu):

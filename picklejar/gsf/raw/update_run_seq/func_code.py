@@ -1,4 +1,4 @@
-# first line: 26
+# first line: 28
 @RunSequences.vectorize
 @PickleJar.pickle(path="gsf/raw")
 def update_run_seq(N, runs, gpu):

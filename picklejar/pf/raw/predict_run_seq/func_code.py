@@ -1,4 +1,4 @@
-# first line: 22
+# first line: 26
 @RunSequences.vectorize
 @PickleJar.pickle(path="pf/raw")
 def predict_run_seq(N, runs, gpu):

@@ -1,4 +1,4 @@
-# first line: 34
+# first line: 38
 @RunSequences.vectorize
 @PickleJar.pickle(path="pf/raw")
 def resample_run_seq(N, runs, gpu):

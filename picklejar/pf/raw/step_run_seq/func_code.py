@@ -1,4 +1,4 @@
-# first line: 40
+# first line: 44
 @RunSequences.vectorize
 @PickleJar.pickle(path="pf/raw")
 def step_run_seq(N, runs, gpu):

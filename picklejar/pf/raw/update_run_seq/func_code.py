@@ -1,4 +1,4 @@
-# first line: 28
+# first line: 32
 @RunSequences.vectorize
 @PickleJar.pickle(path="pf/raw")
 def update_run_seq(N, runs, gpu):

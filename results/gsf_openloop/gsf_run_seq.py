@@ -14,7 +14,9 @@ from results._common import save_fig
 from results._filter_bench import build, run_seq, time_op
 
 CPU_LOG2 = np.arange(0, 15, 1.0)
-ACC_LOG2 = np.arange(0, 19, 1.0)
+# Round 5: the full reference accelerator grid, 2^0..2^18.5 in half-log2
+# steps (reference gsf_run_seq.py:483-497)
+ACC_LOG2 = np.arange(0, 19, 0.5)
 
 
 @RunSequences.vectorize

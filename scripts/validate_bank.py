@@ -61,7 +61,7 @@ def main():
     rng = np.random.default_rng(int(time.time() * 1000) % 2**31)
     print(f"platform={jax.devices()[0].platform}", flush=True)
     kernel = jax.jit(rp4.pallas_systematic_resample_bank)
-    for n in (2**12, 2**14, 2**18):
+    for n in (2**12, 2**14, 300000, 2**18):  # 300000: pad-aware odd size
         for kind in ("uniform", "exp", "heavy", "dead_half", "hyper"):
             means = jnp.asarray(
                 rng.standard_normal((n, 5)), jnp.float32)

@@ -171,13 +171,16 @@ def parity():
     art["pf_kernel_mean_delta_vs_cpu"] = float(
         np.max(np.abs(k_parts.mean(axis=0) - cpu_parts.mean(axis=0))))
 
-    def run_gsf(dev):
+    def run_gsf(dev, fast=False):
+        from gpu_se_tpu.distributions import gaussian_sum as gsd
+
         with jax.default_device(cpu_dev):
             state = gs_ukf.init(jax.random.PRNGKey(9), 2 ** 10, x0, state_pdf)
         state = jax.device_put(state, dev)
 
         def body(s):
-            with jax.default_matmul_precision("float32"), resampling.impl("xla"):
+            with jax.default_matmul_precision("float32"), \
+                    resampling.impl("xla"), gsd.fast_noise(fast):
                 return gs_ukf.step(s, u, z, jnp.float32(0.1), fdyn, g,
                                    state_pdf, meas_pdf)
 
@@ -186,11 +189,25 @@ def parity():
                 np.asarray(out.covariances, np.float64),
                 np.asarray(out.weights, np.float64))
 
+    # element-level gate runs the SHARED threefry stream on both
+    # backends (fast_noise(False)): the production TPU rbg noise path is
+    # a DIFFERENT documented stream (distributions/gaussian_sum.py
+    # device_fast_key), so same-key element equality is only defined for
+    # the threefry leg; the rbg leg is gated on bank moments below.
     cm, cc, cw = run_gsf(cpu_dev)
     tm, tc, tw = run_gsf(tpu_dev)
     art["gsf_max_abs_mean_delta"] = float(np.max(np.abs(tm - cm)))
     art["gsf_max_abs_cov_delta"] = float(np.max(np.abs(tc - cc)))
     art["gsf_max_abs_weight_delta"] = float(np.max(np.abs(tw / tw.sum() - cw / cw.sum())))
+
+    fm, fc, fw = run_gsf(tpu_dev, fast=True)
+    wn = fw / fw.sum()
+    cwn = cw / cw.sum()
+    art["gsf_rbg_bank_mean_delta"] = float(
+        np.max(np.abs(wn @ fm - cwn @ cm)))
+    art["gsf_rbg_bank_cov_scale_delta"] = float(np.max(np.abs(
+        np.einsum("n,nij->ij", wn, fc)
+        - np.einsum("n,nij->ij", cwn, cc))) / max(1e-12, float(np.max(np.abs(cc)))))
 
     # tolerances: reference used 1e-7/1e-10 for identical-library CPU/GPU
     # float32; across XLA backends (different fusion orders) f32 one-step
@@ -202,6 +219,11 @@ def parity():
         "gsf_max_abs_mean_delta": 1e-3,
         "gsf_max_abs_cov_delta": 1e-3,
         "gsf_max_abs_weight_delta": 1e-4,
+        # rbg stream differs by construction: gate the weighted bank
+        # mean (sampling error ~ noise_std/sqrt(N_bank)) and the
+        # relative weighted-cov scale
+        "gsf_rbg_bank_mean_delta": 5e-3,
+        "gsf_rbg_bank_cov_scale_delta": 5e-2,
     }
     art["tolerances"] = checks
     art["passed"] = all(art[k] <= tol for k, tol in checks.items())

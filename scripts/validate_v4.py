@@ -18,7 +18,7 @@ from gpu_se_tpu.ops.resample_pallas4 import pallas_systematic_resample_tiled
 from gpu_se_tpu.filters.resampling import systematic_resample_indices, sorted_row_gather
 
 step = int(sys.argv[1]) if len(sys.argv) > 1 else 1
-ns = {1: [4096], 2: [2**16], 3: [2**20]}[step]
+ns = {1: [4096, 5003], 2: [2**16, 70001], 3: [2**20]}[step]  # odd: pad-aware
 print("platform:", jax.default_backend())
 
 rng = np.random.default_rng(int(time.time()))

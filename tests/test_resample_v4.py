@@ -179,3 +179,45 @@ def test_update_core_covariances_exactly_symmetric():
     st = gs_ukf.update(st, u, z, bio.Bioreactor.static_outputs, meas_pdf)
     cu = np.asarray(st.covariances)
     np.testing.assert_array_equal(cu, cu.transpose(0, 2, 1))
+
+
+def test_padded_arbitrary_n_bitwise():
+    """Round 5: non-block-multiple n rides the kernel via above-range
+    ends padding — bitwise vs XLA at odd sizes on both weight regimes."""
+    from gpu_se_tpu.filters.resampling import (
+        sorted_row_gather, systematic_resample_indices)
+
+    rng = np.random.default_rng(21)
+    for n in (5003, 8191, 12289):
+        for degenerate in (False, True):
+            parts = jnp.asarray(
+                rng.standard_normal((n, 5)), jnp.float32)
+            w = np.exp(rng.standard_normal(n)).astype(np.float32)
+            if degenerate:
+                w[: n - n // 16] = 1e-12
+            w = jnp.asarray(w)
+            r = jnp.float32(rng.uniform())
+            out, anc = rp4.pallas_systematic_resample_tiled(
+                parts, w, r, interpret=True)
+            idx = systematic_resample_indices(w, r)
+            np.testing.assert_array_equal(np.asarray(anc), np.asarray(idx))
+            np.testing.assert_array_equal(
+                np.asarray(out), np.asarray(sorted_row_gather(parts, idx)))
+
+
+def test_bank_padded_arbitrary_n_bitwise():
+    from gpu_se_tpu.filters.resampling import (
+        sorted_row_gather, systematic_resample_indices)
+
+    rng = np.random.default_rng(22)
+    n = 5000
+    means, covs, w = _bank(rng, n, degenerate=True)
+    r = jnp.float32(0.61)
+    m2, c2, anc = rp4.pallas_systematic_resample_bank(
+        means, covs, w, r, interpret=True)
+    idx = systematic_resample_indices(w, r)
+    np.testing.assert_array_equal(np.asarray(anc), np.asarray(idx))
+    np.testing.assert_array_equal(
+        np.asarray(m2), np.asarray(sorted_row_gather(means, idx)))
+    np.testing.assert_array_equal(
+        np.asarray(c2), np.asarray(sorted_row_gather(covs, idx)))

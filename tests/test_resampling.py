@@ -382,5 +382,10 @@ def test_v4_applicability_gate():
     ok = jnp.zeros((2 ** 13, 5), jnp.float32)
     assert v4_applicable(ok, 2 ** 13)
     assert not v4_applicable(jnp.zeros((2 ** 13, 7), jnp.float32), 2 ** 13)
-    assert not v4_applicable(ok[: 2 ** 13 - 128], 2 ** 13 - 128)  # % 4096
+    # round 5: non-block-multiples are PADDED onto the kernel
+    assert v4_applicable(ok[: 2 ** 13 - 128], 2 ** 13 - 128)
     assert not v4_applicable(jnp.zeros((128, 5), jnp.float32), 128)
+    # f32 index exactness bounds the PADDED slot count: n just under
+    # 2^24 pads TO 2^24 (ok); one past it pads beyond (rejected)
+    assert v4_applicable(jnp.zeros((2, 5), jnp.float32), 2 ** 24 - 100)
+    assert not v4_applicable(jnp.zeros((2, 5), jnp.float32), 2 ** 24 + 1)
