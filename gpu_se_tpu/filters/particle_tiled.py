@@ -121,6 +121,57 @@ def dims(state: TiledPFState, nx: int) -> jax.Array:
     )
 
 
+def predict_update_local(
+    tiled: jax.Array, u, z, dt, f: Callable, g: Callable,
+    state_pdf: GaussianSum, measurement_pdf: GaussianSum,
+    nx: int, kn: jax.Array,
+):
+    """The lanes-last predict+update on one (t_data, 1024) tiled
+    block: returns ``(xn (nx, T, 128), w (T, 128))``. Shared by the
+    single-device step and the shard-local body of the distributed
+    tiled step (parallel/sharded.make_shard_map_tiled_step)."""
+    t_data = tiled.shape[0]
+    n = t_data * LANES
+    x = jnp.stack(
+        [tiled[:, d * LANES:(d + 1) * LANES] for d in range(nx)]
+    )
+    deltas = f(x, u, dt)
+    # rbg bits on TPU: 0.56 -> 0.15 ms at 2^20 (scripts/probe_rbg.py);
+    # stream change documented at device_fast_key
+    noise = state_pdf.draw_t(
+        device_fast_key(kn), n).reshape(nx, t_data, LANES)
+    xn = x + deltas + noise
+    # incoming weights are uniform — an exact power-of-two cumsum
+    # scale — so the multiply is skipped; see module docstring
+    ys = g(xn, u)
+    resid = z.reshape(-1, 1, 1).astype(xn.dtype) - ys
+    w = measurement_pdf.pdf_t(resid)               # (T, 128)
+    return xn, w
+
+
+def build_body(xn: jax.Array, ends_row: jax.Array, nx: int,
+               with_index: bool = True) -> jax.Array:
+    """Assemble the (t_data, 1024) tiled kernel payload from the
+    lanes-last state ``xn (nx, T, 128)`` and the f32 ends row. The
+    index row (exact f32 iota) is only needed when ancestors must come
+    back out (the single-device path); the distributed pipeline skips
+    it."""
+    t_data = xn.shape[1]
+    zero_row = jnp.zeros((t_data, LANES), jnp.float32)
+    if with_index:
+        idx_row = (
+            jax.lax.broadcasted_iota(jnp.int32, (t_data, LANES), 0)
+            * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (t_data, LANES), 1)
+        ).astype(jnp.float32)
+    else:
+        idx_row = zero_row
+    groups = [xn[d] for d in range(nx)]
+    groups += [zero_row] * (IDX_ROW - nx)
+    groups += [idx_row, ends_row, zero_row]
+    return jnp.concatenate(groups, axis=1)         # (t_data, 1024)
+
+
 def step(
     state: TiledPFState,
     u: jax.Array,
@@ -133,7 +184,7 @@ def step(
     *,
     nx: int = 5,
     block: int = _V4_BLOCK,
-    interpret: bool = False,
+    interpret: bool | None = None,
     compact_tps: int = 64,
 ) -> TiledPFState:
     """Fused predict + update + resample, tiled end to end.
@@ -143,26 +194,17 @@ def step(
     model functions, NOT the per-particle vmapped closures of
     ``particle.step``).
     """
+    if interpret is None:
+        # Mosaic kernels only exist on TPU; anywhere else (tests, the
+        # CPU entry check) the interpreter runs the same program
+        interpret = jax.default_backend() != "tpu"
     tiled = state.tiled
     t_data = tiled.shape[0]
     n = t_data * LANES
     key, kn, kr = jax.random.split(state.key, 3)
 
-    # ---- predict: x += f(x, u, dt) + w ------------------------------
-    x = dims(state, nx)
-    deltas = f(x, u, dt)
-    # rbg bits on TPU: 0.56 -> 0.15 ms at 2^20 (scripts/probe_rbg.py);
-    # stream change documented at device_fast_key
-    noise = state_pdf.draw_t(
-        device_fast_key(kn), n).reshape(nx, t_data, LANES)
-    xn = x + deltas + noise
-
-    # ---- update: w_i = p(z - g(x_i, u)) -----------------------------
-    # (incoming weights are uniform — an exact power-of-two cumsum
-    # scale — so the multiply is skipped; see module docstring)
-    ys = g(xn, u)
-    resid = z.reshape(-1, 1, 1).astype(xn.dtype) - ys
-    w = measurement_pdf.pdf_t(resid)               # (T, 128)
+    xn, w = predict_update_local(
+        tiled, u, z, dt, f, g, state_pdf, measurement_pdf, nx, kn)
 
     # ---- resample: rebuild scratch rows, run the tiled kernel -------
     from gpu_se_tpu.ops.resample_coarse import ends_from_weights
@@ -172,16 +214,8 @@ def step(
 
     tpb = block // LANES
     wt = 3 * tpb + 8
-    idx_row = (
-        jax.lax.broadcasted_iota(jnp.int32, (t_data, LANES), 0) * LANES
-        + jax.lax.broadcasted_iota(jnp.int32, (t_data, LANES), 1)
-    ).astype(jnp.float32)
-    ends_row = ends.astype(jnp.float32).reshape(t_data, LANES)
-    zero_row = jnp.zeros((t_data, LANES), jnp.float32)
-    groups = [xn[d] for d in range(nx)]
-    groups += [zero_row] * (IDX_ROW - nx)
-    groups += [idx_row, ends_row, zero_row]
-    body = jnp.concatenate(groups, axis=1)         # (t_data, 1024)
+    body = build_body(
+        xn, ends.astype(jnp.float32).reshape(t_data, LANES), nx)
     # window-overhang pad: BIG in the ends lanes, 0 elsewhere (built
     # from iota, not a trace-time constant — CLAUDE.md HTTP-413 rule)
     li = jax.lax.broadcasted_iota(jnp.int32, (wt, 8 * LANES), 1)

@@ -638,7 +638,8 @@ def _a2a_tiled_ring(ctiled, in_off, sizes_t, off_t, t_recv, axis: str):
     return out
 
 
-def _merge_received_v4_tiled(recv, slot0, n_local, nx, interpret: bool):
+def _merge_received_v4_tiled(recv, slot0, n_local, nx, interpret: bool,
+                             return_tiled: bool = False):
     """v4 merge directly on the received tiled buffer.
 
     ``recv`` is (t_recv, 1024) with a globally sorted (duplicates
@@ -686,6 +687,10 @@ def _merge_received_v4_tiled(recv, slot0, n_local, nx, interpret: bool):
     def kernel_merge(tiled):
         out_tiled = v4._run_main_kernel(
             tiled, base, n_local, tpb, wt, interpret)
+        if return_tiled:
+            # the round-5 tiled-state distributed step chains this
+            # output directly into the next step's input
+            return out_tiled
         back = (
             out_tiled.reshape(t_data, 8, LANES)
             .transpose(1, 0, 2)
@@ -712,7 +717,15 @@ def _merge_received_v4_tiled(recv, slot0, n_local, nx, interpret: bool):
             .reshape(8, n_tot)
         )
         rows = back[:nx].T
-        return sorted_row_gather(rows, p)
+        out = sorted_row_gather(rows, p)
+        if not return_tiled:
+            return out
+        p8 = jnp.zeros((8, n_local), jnp.float32).at[:nx].set(out.T)
+        return (
+            p8.reshape(8, t_data, LANES)
+            .transpose(1, 0, 2)
+            .reshape(t_data, 8 * LANES)
+        )
 
     return jax.lax.cond(span_max > 2 * LANES, xla_merge, kernel_merge, tiled)
 
@@ -749,6 +762,33 @@ def _distributed_systematic_resample_a2a_tiled(
         .transpose(1, 0, 2)
         .reshape(t_data, 8 * LANES)
     )
+    new_parts = _a2a_compact_exchange_merge(
+        tiled, prev, n_local, nx, axis,
+        exchange=exchange, interpret=interpret)
+    new_weights = jnp.full((n_local,), 1.0 / n_global, dtype=weights.dtype)
+    return new_parts, new_weights
+
+
+def _a2a_compact_exchange_merge(
+    tiled, prev, n_local, nx, axis: str, *,
+    exchange: str = "ragged", interpret: bool = False,
+    return_tiled: bool = False,
+):
+    """The round-5 pipeline from a LOCAL-coords tiled payload on:
+    v4 compaction kernel -> global-coords pad rewrite -> tile-granular
+    exchange -> v4 merge. ``tiled`` is (t_data, 1024) with the shard's
+    ends in LOCAL coordinates (``ends - (prev+1)``) in the ENDS row.
+    With ``return_tiled`` the merge output stays in the tiled layout —
+    the tiled-state distributed step (make_shard_map_tiled_step) chains
+    it directly."""
+    from gpu_se_tpu.ops import resample_pallas4 as v4
+
+    LANES = v4.LANES
+    s_idx = jax.lax.axis_index(axis)
+    n_shards = jax.lax.axis_size(axis)
+    slot0 = s_idx * n_local
+    t_data = n_local // LANES
+    shift = prev + 1
     # 64 tiles/grid-step (round 5): ~0.4 ms less than 32 at 2^20 on
     # v5e; _compact clamps back to 32 when 64 doesn't divide t_data
     ctiled = v4._compact(tiled, n_local, 0, interpret, tiles_per_step=64)
@@ -794,10 +834,8 @@ def _distributed_systematic_resample_a2a_tiled(
         recv = _a2a_tiled_ring(
             ctiled, tlo, sizes_mat, off_mat, t_recv, axis)
 
-    new_parts = _merge_received_v4_tiled(
-        recv, slot0, n_local, nx, interpret)
-    new_weights = jnp.full((n_local,), 1.0 / n_global, dtype=weights.dtype)
-    return new_parts, new_weights
+    return _merge_received_v4_tiled(
+        recv, slot0, n_local, nx, interpret, return_tiled=return_tiled)
 
 
 def _distributed_systematic_resample_a2a(
@@ -1146,3 +1184,79 @@ def make_shard_map_gsukf_step(mesh: Mesh, f: Callable, g: Callable,
         in_shardings=(state_shardings, r_sh, r_sh, None, None, None),
         out_shardings=state_shardings,
     )
+
+
+def shard_tiled_pf_state(state, mesh: Mesh):
+    """Place a TiledPFState on the mesh: tile rows sharded over the
+    particle axis (each shard holds n_local/128 contiguous tile rows —
+    exactly the per-shard tiled payload), key replicated."""
+    from gpu_se_tpu.filters.particle_tiled import TiledPFState
+
+    return TiledPFState(
+        tiled=jax.device_put(
+            state.tiled, NamedSharding(mesh, P(PARTICLE_AXIS, None))),
+        key=jax.device_put(state.key, NamedSharding(mesh, P())),
+    )
+
+
+def make_shard_map_tiled_step(mesh: Mesh, f: Callable, g: Callable,
+                              axis: str = PARTICLE_AXIS,
+                              exchange: str = "ragged",
+                              interpret: bool | None = None,
+                              nx: int = 5):
+    """Round-5 TILED-STATE distributed PF step: the per-shard state
+    stays in the v4 (t_data, 1024) layout ACROSS steps, like the
+    single-device ``particle_tiled.step`` — lanes-last shard-local
+    predict/update (rbg noise on TPU via a per-shard folded key),
+    width-invariant segmented ends, then the compact -> tile-granular
+    exchange -> v4 merge pipeline with the merge output chained
+    directly as the next state (no per-step AoS <-> tiled transposes,
+    the tax the round-4 per-shard program still paid).
+
+    ``f(x, u, dt)`` / ``g(x, u)`` are the xp-parameterized lanes-last
+    model functions (as in particle_tiled.step). ``exchange``: "ragged"
+    (lax.ragged_all_to_all, TPU) or "ring" (ppermute emulation, any
+    backend). NOISE STREAM: per-shard ``fold_in(key, shard)`` draw_t —
+    deterministic, but width-DEPENDENT (unlike make_shard_map_step's
+    partitionable global draws); the resample stage remains bitwise
+    width-invariant given identical weights (tests/test_tiled_sharded).
+    """
+    from gpu_se_tpu.filters import particle_tiled as pft
+
+    def step(state, u, z, dt, state_pdf: GaussianSum,
+             measurement_pdf: GaussianSum):
+        itp = (interpret if interpret is not None
+               else jax.default_backend() != "tpu")
+        key, kn, kr = jax.random.split(state.key, 3)
+        r = jax.random.uniform(kr, ())
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(axis, None), P(), P(), P(), P(), P()),
+            out_specs=P(axis, None),
+            check_vma=False,
+        )
+        def sharded(tiled, u, z, dt, r, kn):
+            from gpu_se_tpu.ops.resample_pallas4 import LANES
+
+            s_idx = jax.lax.axis_index(axis)
+            n_local = tiled.shape[0] * LANES
+            kn_local = jax.random.fold_in(kn, s_idx)
+            xn, w = pft.predict_update_local(
+                tiled, u, z, dt, f, g, state_pdf, measurement_pdf,
+                nx, kn_local)
+            ends, prev = _segmented_ends(w.reshape(n_local), r, axis)
+            ends_loc = (ends - (prev + 1)).astype(jnp.float32)
+            body = pft.build_body(
+                xn, ends_loc.reshape(-1, LANES), nx, with_index=False)
+            return _a2a_compact_exchange_merge(
+                body, prev, n_local, nx, axis,
+                exchange=exchange, interpret=itp, return_tiled=True)
+
+        new_tiled = sharded(state.tiled, u, z, dt, r, kn)
+        from gpu_se_tpu.filters.particle_tiled import TiledPFState
+
+        return TiledPFState(tiled=new_tiled, key=key)
+
+    return step

@@ -178,6 +178,33 @@ def chain_fn(step, k, n):
     return run
 
 
+def chain_tiled_sharded(rigt, k, n, mesh):
+    """Round-5 tiled-state sharded step (a2a_ts): the W=1 per-shard
+    anchor of the production tiled distributed pipeline."""
+    import functools as ft
+
+    from gpu_se_tpu.filters import particle_tiled as pft
+    from gpu_se_tpu.parallel.sharded import make_shard_map_tiled_step
+
+    x0, state_pdf, meas_pdf, f, g, u, z = rigt
+    fs = ft.partial(bio.homeostatic_des, xp=jnp)
+    gs = ft.partial(bio.static_outputs, xp=jnp)
+    step = make_shard_map_tiled_step(mesh, fs, gs, exchange="ragged",
+                                     interpret=False)
+
+    @jax.jit
+    def run(tiled0, eps):
+        st = pft.TiledPFState(
+            tiled=tiled0 + eps * 1e-9,
+            key=jax.random.PRNGKey(jnp.abs(eps * 1e6).astype(jnp.int32)),
+        )
+        for _ in range(k):
+            st = step(st, u, z, jnp.float32(0.1), state_pdf, meas_pdf)
+        return jnp.sum(st.tiled[:, :640], dtype=jnp.float32)
+
+    return run
+
+
 def measure(fn, p0, rng, calls=CALLS):
     float(fn(p0, jnp.float32(rng.standard_normal())))
     ts = []
@@ -203,6 +230,20 @@ def main():
             jnp.float32)
         jax.block_until_ready(p0)
         for kind in kinds:
+            if kind == "a2a_ts":
+                from gpu_se_tpu.filters import particle_tiled as pft
+
+                t0 = pft.tile(p0, jax.random.PRNGKey(0)).tiled
+                jax.block_until_ready(t0)
+                t_lo = measure(chain_tiled_sharded(rigt, K_LO, n, mesh),
+                               t0, rng)
+                t_hi = measure(chain_tiled_sharded(rigt, K_HI, n, mesh),
+                               t0, rng)
+                slope = (t_hi - t_lo) / (K_HI - K_LO)
+                print(f"n=2^{int(np.log2(n))} {kind:8s} "
+                      f"T({K_LO})={t_lo:8.3f}  T({K_HI})={t_hi:8.3f}  "
+                      f"slope={slope:7.3f} ms/step", flush=True)
+                continue
             step = make_step(kind, rigt, n, mesh)
             t_lo = measure(chain_fn(step, K_LO, n), p0, rng)
             t_hi = measure(chain_fn(step, K_HI, n), p0, rng)
